@@ -1,0 +1,75 @@
+"""Benchmark: rasterizer forward+backward rays/s per chip at 1080p.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference repo publishes no throughput baseline (BASELINE.md) —
+vs_baseline is reported against the first recorded value of this bench
+when available via BENCH_BASELINE env, else null.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs2d_tpu.ops.rasterize.api import RasterizeConfig, rasterize
+from gs2d_tpu.ops.rasterize.preprocess import preprocess
+from gs2d_tpu.scene.cameras import make_camera
+
+
+def build_scene(n=100_000, seed=0):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    scales = rng.uniform(0.004, 0.02, (n, 2)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
+    rgb = rng.random((n, 3)).astype(np.float32)
+    return tuple(jnp.asarray(x) for x in (means, scales, quats, opac, rgb))
+
+
+def main():
+    W, H = 1920, 1080
+    import math
+    fovx = math.radians(70)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 4.0]), fovx, fovy, W, H)
+    means, scales, quats, opac, rgb = build_scene()
+    cfg = RasterizeConfig(width=W, height=H, pairs_capacity=1 << 21,
+                          chunk=128)
+    cot = jnp.ones((15, H, W), jnp.float32)
+
+    def loss(means, scales, quats, opac, rgb):
+        pre = preprocess(means, scales, quats, opac, cam.world_view,
+                         cam.full_proj, cam.campos, W, H, colors=rgb)
+        out, _ = rasterize(pre, cfg)
+        return jnp.sum(out * cot)
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+    args = (means, scales, quats, opac, rgb)
+    g = step(*args)
+    jax.block_until_ready(g)
+    n_iters = 10
+    t0 = time.time()
+    for _ in range(n_iters):
+        g = step(*args)
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / n_iters
+    rays_per_s = W * H / dt
+
+    base = os.environ.get("BENCH_BASELINE")
+    vs = rays_per_s / float(base) if base else None
+    print(json.dumps({
+        "metric": "rays_per_s_per_chip_fwd_bwd_1080p",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

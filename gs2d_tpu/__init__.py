@@ -1,0 +1,28 @@
+"""gs2d_tpu — TPU-native 2D Gaussian Splatting framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+kumass2020/2d-gaussian-splatting (itself the official impl of
+"2D Gaussian Splatting for Geometrically Accurate Radiance Fields",
+SIGGRAPH 2024, plus an InstructGS2GS research fork layer).
+
+Layer map (TPU-native counterparts of the reference layers, see SURVEY.md):
+
+  ops/rasterize   — the differentiable surfel rasterizer: pure-jnp oracle +
+                    Pallas TPU forward/backward kernels with a custom VJP
+                    (replaces the CUDA submodule diff-surfel-rasterization).
+  ops/            — SH evaluation, quaternions, camera math, KNN, SSIM,
+                    TSDF fusion, marching cubes, depth→normal.
+  models/         — capacity-padded Gaussian parameter pytree + masked
+                    densification (replaces scene/gaussian_model.py's
+                    torch optimizer surgery with functional masked updates).
+  scene/          — COLMAP/Blender dataset readers, cameras, PLY IO.
+  train/          — jitted train step, masked Adam, losses, checkpoints.
+  parallel/       — jax.sharding Mesh scale-out: pixel/tile sharding +
+                    gradient psum over ICI (new design; the reference is
+                    single-GPU).
+  render/         — renderer bridge (same output dict contract as
+                    gaussian_renderer/__init__.py) + SIBR viewer protocol.
+  eval/           — PSNR/SSIM/LPIPS, DTU chamfer, TnT F1 harnesses.
+"""
+
+__version__ = "0.1.0"

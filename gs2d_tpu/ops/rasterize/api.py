@@ -1,0 +1,119 @@
+"""Public rasterizer API: preprocess → bin → Pallas kernels → image.
+
+The custom-VJP boundary wraps only the tiled compositing core (entries →
+tile images). Everything around it — the projective preprocess, the entry
+gather (whose VJP is the per-Gaussian scatter-add that replaces CUDA
+atomics), background compositing, and un-tiling — is pure jnp and
+differentiated by JAX itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .binning import BinningOut, alloc_size, bin_gaussians
+from .common import (NUM_OUT, TILE_H, TILE_PX, TILE_W, cdiv, pad_to)
+from .kernel_fwd import rasterize_fwd_pallas
+from .oracle import rasterize_oracle
+from .preprocess import PreprocessOut
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    width: int
+    height: int
+    pairs_capacity: int = 1 << 21
+    chunk: int = 128
+    impl: str = "pallas"      # "pallas" | "oracle"
+    interpret: bool = False   # run Pallas in interpreter mode (CPU tests)
+
+
+def pack_entries(pre: PreprocessOut) -> jnp.ndarray:
+    """Per-Gaussian kernel record, layout per common.py FLD_*: (N, 24)."""
+    return jnp.concatenate(
+        [
+            pre.A, pre.B, pre.C, pre.c2, pre.center2d,
+            pre.opacity[:, None], pre.rgb, pre.normal, pre.noise,
+        ],
+        axis=-1,
+    )
+
+
+def untile(out_tiles: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """(T, NUM_OUT, TILE_PX) tile-major → (NUM_OUT, height, width)."""
+    ntx = cdiv(width, TILE_W)
+    nty = cdiv(height, TILE_H)
+    x = out_tiles.reshape(nty, ntx, NUM_OUT, TILE_H, TILE_W)
+    x = x.transpose(2, 0, 3, 1, 4).reshape(NUM_OUT, nty * TILE_H, ntx * TILE_W)
+    return x[:, :height, :width]
+
+
+def tile_cotangent(g: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """Inverse of untile for cotangents: (NUM_OUT, H, W) → (T, NUM_OUT, PX),
+    zero-padding the out-of-image border pixels."""
+    ntx = cdiv(width, TILE_W)
+    nty = cdiv(height, TILE_H)
+    wp, hp = ntx * TILE_W, nty * TILE_H
+    gp = jnp.zeros((NUM_OUT, hp, wp), g.dtype).at[:, :height, :width].set(g)
+    x = gp.reshape(NUM_OUT, nty, TILE_H, ntx, TILE_W)
+    return x.transpose(1, 3, 0, 2, 4).reshape(nty * ntx, NUM_OUT, TILE_PX)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core: (entries, bins) → tile images
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _core(cfg: RasterizeConfig, entries, slot_valid, tile_start, tile_count):
+    return rasterize_fwd_pallas(
+        entries, tile_start, tile_count,
+        width=cfg.width, height=cfg.height, chunk=cfg.chunk,
+        interpret=cfg.interpret)
+
+
+def _core_fwd(cfg, entries, slot_valid, tile_start, tile_count):
+    out = _core(cfg, entries, slot_valid, tile_start, tile_count)
+    return out, (entries, slot_valid, tile_start, tile_count, out)
+
+
+def _core_bwd(cfg, res, g):
+    from .kernel_bwd import rasterize_bwd_pallas
+
+    entries, slot_valid, tile_start, tile_count, out = res
+    d_raw = rasterize_bwd_pallas(
+        entries, tile_start, tile_count, out, g,
+        width=cfg.width, height=cfg.height, chunk=cfg.chunk,
+        interpret=cfg.interpret)
+    d_entries = jnp.where(slot_valid[None, :], d_raw, 0.0)
+    return d_entries, None, None, None
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
+    """Rasterize preprocessed Gaussians.
+
+    Returns (out, aux): out is (NUM_OUT, H, W) float32 (rgb channels carry
+    no background — callers composite ``rgb + (1-alpha)*bg``); aux carries
+    binning diagnostics.
+    """
+    if cfg.impl == "oracle":
+        out = rasterize_oracle(pre, cfg.width, cfg.height)
+        return out, {"num_pairs": jnp.int32(-1), "overflow": jnp.bool_(False)}
+
+    bins: BinningOut = bin_gaussians(
+        pre.center2d, pre.extent, pre.depth, pre.visible,
+        cfg.width, cfg.height, cfg.pairs_capacity, cfg.chunk)
+    packed = pack_entries(pre)                       # (N, 24) differentiable
+    entries = packed[bins.gid].T                     # SoA (24, P_alloc);
+    # gather VJP = per-Gaussian scatter-add (the no-atomics reduction)
+    out_tiles = _core(cfg, entries, bins.slot_valid,
+                      bins.tile_start, bins.tile_count)
+    out = untile(out_tiles, cfg.width, cfg.height)
+    return out, {"num_pairs": bins.num_pairs, "overflow": bins.overflow}

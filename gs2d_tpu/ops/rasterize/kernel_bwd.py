@@ -1,0 +1,332 @@
+"""Pallas TPU backward rasterization kernel (hand-written VJP core).
+
+Replaces the CUDA back-to-front gradient kernel (SURVEY.md §2.1 step 4)
+with a TPU-native two-pass front-to-back formulation that needs no
+transmittance division chains and no atomics:
+
+  For L = f({w_e}, T_F) with w_e = α_e·T_e, the α-gradient is
+      dα_e = T_e·dw_e − [Σ_{j>e} w_j·dw_j + T_F·dT_F] / (1−α_e),
+  where dw_e (the partial w.r.t. w_e with other w fixed) is closed-form in
+  per-entry values, *prefix* accumulators (from the recomputed forward
+  scan) and *suffix* accumulators (expressed as forward totals minus
+  inclusive prefixes — the totals are the forward kernel's output channels,
+  including the M1/M2 aux channels).
+
+  Pass 1 recomputes the forward scan and accumulates the grand total
+  Σ_j w_j·dw_j (plus the chunk index of the median contributor).
+  Pass 2 recomputes again, forms the suffix terms, chains gradients back
+  through the compositing → alpha → Gaussian-weight → homography-
+  coefficient algebra, reduces over the tile's pixels, and DMAs the
+  per-entry gradient chunk to HBM. Entry slots are tile-disjoint by
+  construction (CHUNK-aligned binning), so writes never race; the final
+  per-Gaussian reduction is the VJP of the jnp gather (a segment-sum).
+
+  The depth-distortion loss gradient includes all prefix/suffix coupling
+  terms of Σ_e w_e(m_e²·A_e + M2_e − 2·m_e·M1_e); see inline derivation.
+  The low-pass (rho2d) branch carries no gradient, matching the
+  reference's removal of the low-pass filter gradient (README.md:114).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import (ALPHA_CUTOFF, ENTRY_F, NEAR_N, NUM_OUT, T_EPS, TILE_PX,
+                     TILE_W, cdiv)
+from .kernel_common import (M_SCALE, chunk_geometry, entry_validity,
+                            mapped_depth, matv, tri_mats)
+from .kernel_fwd import _pixel_coords
+
+LOG_T_EPS = math.log(T_EPS)
+NUM_STATE = 8
+# state rows: 0 logT, 1 crossed, 2 M1_run, 3 M2_run, 4 last_sel_chunk,
+#             5 G_wdw (grand total of w·dw), 6 P_wdw (running inclusive
+#             prefix of w·dw, pass 2), 7 unused/pad
+
+
+def _recompute_chunk(e, px, py, ci, chunk, count, state, tri_i, tri_s):
+    """Shared forward recomputation for both backward passes.
+
+    Returns per-chunk tensors needed by the gradient algebra. Reads state
+    rows 0..3 but does not write them (callers update).
+    """
+    geom = chunk_geometry(e, px, py)
+    crossed_in = state[1:2]
+    ok = entry_validity(geom, ci, chunk, count, crossed_in)
+    a0 = jnp.where(ok, geom.alpha, 0.0)
+    l = jnp.log1p(-a0)
+    s_incl = matv(tri_i, l)
+    logT_in = state[0:1]
+    keep = (s_incl + logT_in) >= LOG_T_EPS
+    cross = (a0 > 0.0) & jnp.logical_not(keep)
+    a_eff = jnp.where(keep, a0, 0.0)
+    l2 = jnp.where(keep, l, 0.0)
+    s_excl = matv(tri_s, l2)
+    T_before = jnp.exp(logT_in + s_excl)
+    w = a_eff * T_before
+    live = a_eff > 0.0
+    zs, m = mapped_depth(geom.z, live)
+    wm = w * m
+    wm2 = wm * m
+    A_pre = 1.0 - T_before
+    M1_pre = state[2:3] + matv(tri_s, wm)
+    M2_pre = state[3:4] + matv(tri_s, wm2)
+    return (geom, a_eff, l2, cross, T_before, w, live, zs, m, wm, wm2,
+            A_pre, M1_pre, M2_pre)
+
+
+def _dw_terms(e, g, w, live, zs, m, A_pre, M1_pre, M2_pre, wm, wm2,
+              T_before, a_eff, M1_tot, M2_tot, T_F):
+    """dw_e = ∂L/∂w_e (other w fixed) and the distortion m-gradient parts."""
+    gC0, gC1, gC2 = g[0:1], g[1:2], g[2:3]
+    gD, gN0, gN1, gN2 = g[3:4], g[5:6], g[6:7], g[7:8]
+    gDist = g[9:10]
+    gH0, gH1, gH2 = g[10:11], g[11:12], g[12:13]
+    gM1, gM2 = g[13:14], g[14:15]
+
+    T_inc = T_before * (1.0 - a_eff)
+    Sw = T_inc - T_F                       # Σ_{j>e} w_j
+    M1_incl = M1_pre + wm
+    M2_incl = M2_pre + wm2
+    Swm = M1_tot - M1_incl
+    Swm2 = M2_tot - M2_incl
+
+    phi = m * m * A_pre + M2_pre - 2.0 * m * M1_pre
+    psi = Swm2 - 2.0 * m * Swm + m * m * Sw
+
+    dw = (e[:, 15:16] * gC0 + e[:, 16:17] * gC1 + e[:, 17:18] * gC2
+          + zs * gD
+          + e[:, 18:19] * gN0 + e[:, 19:20] * gN1 + e[:, 20:21] * gN2
+          + e[:, 21:22] * gH0 + e[:, 22:23] * gH1 + e[:, 23:24] * gH2
+          + m * gM1 + m * m * gM2
+          + gDist * (phi + psi))
+    dw = jnp.where(live, dw, 0.0)
+
+    dm = (w * gM1 + 2.0 * m * w * gM2
+          + gDist * (w * (2.0 * m * A_pre - 2.0 * M1_pre)
+                     + 2.0 * w * (m * Sw - Swm)))
+    return dw, dm
+
+
+def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
+                state, ebuf, wbuf, sem_r, sem_w, *, ntx: int, chunk: int):
+    t = pl.program_id(0)
+    start = ts_ref[t]
+    count = tc_ref[t]
+    nchunks = jax.lax.div(count + chunk - 1, chunk)
+    px, py = _pixel_coords(t, ntx)
+    tri_i, tri_s = tri_mats(chunk)
+
+    g = g_tiles[0]          # (NUM_OUT, TILE_PX)
+    out = out_tiles[0]
+    T_F = 1.0 - out[4:5]
+    M1_tot = out[13:14]
+    M2_tot = out[14:15]
+    gMed = g[8:9]
+
+    state[...] = jnp.zeros((NUM_STATE, TILE_PX), jnp.float32)
+    state[4:5] = jnp.full((1, TILE_PX), -1.0)
+
+    def dma_in(slot, ci):
+        off = pl.multiple_of(start + ci * chunk, 128)
+        return pltpu.make_async_copy(
+            entries.at[:, pl.ds(off, chunk)],
+            ebuf.at[slot], sem_r.at[slot])
+
+    def dma_out(slot, ci):
+        off = pl.multiple_of(start + ci * chunk, 128)
+        return pltpu.make_async_copy(
+            wbuf.at[slot],
+            d_entries.at[:, pl.ds(off, chunk)],
+            sem_w.at[slot])
+
+    # ---------------- pass 1: totals ----------------
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def body1(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma_in(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+        dma_in(slot, ci).wait()
+        e = jnp.transpose(ebuf[slot])
+        (geom, a_eff, l2, cross, T_before, w, live, zs, m, wm, wm2,
+         A_pre, M1_pre, M2_pre) = _recompute_chunk(
+            e, px, py, ci, chunk, count, state, tri_i, tri_s)
+
+        dw, _ = _dw_terms(e, g, w, live, zs, m, A_pre, M1_pre, M2_pre,
+                          wm, wm2, T_before, a_eff, M1_tot, M2_tot, T_F)
+        state[5:6] += jnp.sum(w * dw, axis=0, keepdims=True)
+
+        sel = live & (T_before > 0.5)
+        anysel = jnp.max(sel.astype(jnp.float32), axis=0, keepdims=True)
+        state[4:5] = jnp.where(anysel > 0.0, jnp.float32(ci), state[4:5])
+
+        state[2:3] += jnp.sum(wm, axis=0, keepdims=True)
+        state[3:4] += jnp.sum(wm2, axis=0, keepdims=True)
+        state[0:1] += jnp.sum(l2, axis=0, keepdims=True)
+        state[1:2] = jnp.maximum(
+            state[1:2], jnp.max(cross.astype(jnp.float32), axis=0,
+                                keepdims=True))
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body1, 0)
+
+    # ---------------- pass 2: gradients ----------------
+    G_wdw = state[5:6]
+    last_sel_chunk = state[4:5]
+    dT_F = -g[4:5]                     # alpha channel cotangent: A = 1 - T_F
+    state[0:4] = jnp.zeros((4, TILE_PX), jnp.float32)
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def body2(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma_in(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+        dma_in(slot, ci).wait()
+        e = jnp.transpose(ebuf[slot])
+        (geom, a_eff, l2, cross, T_before, w, live, zs, m, wm, wm2,
+         A_pre, M1_pre, M2_pre) = _recompute_chunk(
+            e, px, py, ci, chunk, count, state, tri_i, tri_s)
+
+        dw, dm = _dw_terms(e, g, w, live, zs, m, A_pre, M1_pre, M2_pre,
+                           wm, wm2, T_before, a_eff, M1_tot, M2_tot, T_F)
+
+        # suffix Σ_{j>e} w_j·dw_j = grand total − inclusive prefix
+        wdw = w * dw
+        P_incl = state[6:7] + matv(tri_i, wdw)
+        S_wdw = G_wdw - P_incl
+
+        one_m_a = 1.0 - a_eff
+        dalpha = T_before * dw - (S_wdw + T_F * dT_F) / one_m_a
+        dalpha = jnp.where(live, dalpha, 0.0)
+
+        # median contributor: last selected entry in the last chunk with one
+        sel = live & (T_before > 0.5)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_PX), 0)
+        last = jnp.max(jnp.where(sel, ii, -1), axis=0, keepdims=True)
+        is_med = (sel & (ii == last)
+                  & (last_sel_chunk == ci.astype(jnp.float32)))
+
+        # dz: expected-depth + median + mapped-depth chain
+        dz = w * g[3:4] + jnp.where(is_med, gMed, 0.0) \
+            + dm * (M_SCALE * NEAR_N / (zs * zs))
+        dz = jnp.where(live, dz, 0.0)
+
+        # alpha → (opacity, rho3d) chain; clamp and low-pass cut the grad
+        no_clamp = jnp.logical_not(geom.clamped)
+        dopa = jnp.where(live & no_clamp, dalpha * geom.G, 0.0)
+        dG = jnp.where(live & no_clamp, dalpha * e[:, 14:15], 0.0)
+        drho = -0.5 * geom.G * dG
+        use3d = geom.rho3d <= geom.rho2d
+        drho3d = jnp.where(use3d, drho, 0.0)
+
+        du = drho3d * 2.0 * geom.u + dz * e[:, 9:10]
+        dv = drho3d * 2.0 * geom.v + dz * e[:, 10:11]
+        dp0 = du * geom.rp2
+        dp1 = dv * geom.rp2
+        dp2 = -(du * geom.u + dv * geom.v) * geom.rp2
+
+        # reductions over pixels → per-entry gradients (chunk, 1)
+        def red(x):
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        cols = [
+            red(dp0), red(dp1), red(dp2),                    # dA
+            red(dp0 * px), red(dp1 * px), red(dp2 * px),     # dB
+            red(dp0 * py), red(dp1 * py), red(dp2 * py),     # dC
+            red(dz * geom.u), red(dz * geom.v), red(dz),     # dc2
+            jnp.zeros((chunk, 1), jnp.float32),              # dcenter x
+            jnp.zeros((chunk, 1), jnp.float32),              # dcenter y
+            red(dopa),                                       # dopacity
+            red(w * g[0:1]), red(w * g[1:2]), red(w * g[2:3]),   # drgb
+            red(w * g[5:6]), red(w * g[6:7]), red(w * g[7:8]),   # dnormal
+            red(w * g[10:11]), red(w * g[11:12]), red(w * g[12:13]),  # dnoise
+        ]
+        d_chunk = jnp.concatenate(cols, axis=1)              # (chunk, 24)
+
+        # write out (double-buffered); wait for this slot's previous DMA
+        @pl.when(ci >= 2)
+        def _():
+            dma_out(slot, ci - 2).wait()
+        wbuf[slot] = jnp.transpose(d_chunk)                  # (24, chunk)
+        dma_out(slot, ci).start()
+
+        # state updates
+        state[6:7] += jnp.sum(wdw, axis=0, keepdims=True)
+        state[2:3] += jnp.sum(wm, axis=0, keepdims=True)
+        state[3:4] += jnp.sum(wm2, axis=0, keepdims=True)
+        state[0:1] += jnp.sum(l2, axis=0, keepdims=True)
+        state[1:2] = jnp.maximum(
+            state[1:2], jnp.max(cross.astype(jnp.float32), axis=0,
+                                keepdims=True))
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body2, 0)
+
+    @pl.when(nchunks >= 2)
+    def _():
+        dma_out(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        dma_out(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "chunk",
+                                             "interpret"))
+def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
+                         tile_count: jnp.ndarray, out_tiles: jnp.ndarray,
+                         g_tiles: jnp.ndarray, *, width: int, height: int,
+                         chunk: int = 128,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Per-entry gradients: returns d_entries with the same SoA layout
+    (ENTRY_F, P_alloc) as the forward's entries input."""
+    if not interpret:
+        assert chunk % 128 == 0
+    ntx = cdiv(width, TILE_W)
+    T = out_tiles.shape[0]
+    P_alloc = entries.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, NUM_OUT, TILE_PX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NUM_OUT, TILE_PX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_STATE, TILE_PX), jnp.float32),
+            pltpu.VMEM((2, ENTRY_F, chunk), jnp.float32),
+            pltpu.VMEM((2, ENTRY_F, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, ntx=ntx, chunk=chunk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ENTRY_F, P_alloc), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_start, tile_count, entries, out_tiles, g_tiles)

@@ -1,0 +1,83 @@
+"""Geometry math shared by the forward and backward Pallas kernels.
+
+Operates on a transposed entry chunk ``e`` of shape (chunk, ENTRY_F) and
+pixel coordinate rows px, py of shape (1, TILE_PX); all products broadcast
+to (chunk, TILE_PX) VPU ops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import (ALPHA_CLAMP, ALPHA_CUTOFF, FAR_N, FILTER_INV_SQUARE,
+                     NEAR_N)
+
+M_SCALE = FAR_N / (FAR_N - NEAR_N)
+
+
+class ChunkGeom(NamedTuple):
+    p2: jnp.ndarray
+    p2ok: jnp.ndarray
+    rp2: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    rho3d: jnp.ndarray
+    rho2d: jnp.ndarray
+    G: jnp.ndarray        # exp(-rho/2)
+    alpha: jnp.ndarray    # pre-mask alpha (min with clamp)
+    clamped: jnp.ndarray  # opa*G hit the 0.99 clamp (no opacity/G grad)
+    z: jnp.ndarray        # per-pixel intersection depth
+
+
+def chunk_geometry(e: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> ChunkGeom:
+    p0 = e[:, 0:1] + e[:, 3:4] * px + e[:, 6:7] * py
+    p1 = e[:, 1:2] + e[:, 4:5] * px + e[:, 7:8] * py
+    p2 = e[:, 2:3] + e[:, 5:6] * px + e[:, 8:9] * py
+    p2ok = jnp.abs(p2) > 1e-12
+    rp2 = 1.0 / jnp.where(p2ok, p2, 1.0)
+    u = p0 * rp2
+    v = p1 * rp2
+    rho3d = u * u + v * v
+    dxp = px - e[:, 12:13]
+    dyp = py - e[:, 13:14]
+    rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
+    rho = jnp.minimum(rho3d, rho2d)
+    G = jnp.exp(-0.5 * rho)
+    raw = e[:, 14:15] * G
+    clamped = raw >= ALPHA_CLAMP
+    alpha = jnp.minimum(ALPHA_CLAMP, raw)
+    z = u * e[:, 9:10] + v * e[:, 10:11] + e[:, 11:12]
+    return ChunkGeom(p2=p2, p2ok=p2ok, rp2=rp2, u=u, v=v, rho3d=rho3d,
+                     rho2d=rho2d, G=G, alpha=alpha, clamped=clamped, z=z)
+
+
+def entry_validity(geom: ChunkGeom, ci, chunk: int, count, crossed_in):
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    evalid = (ridx + ci * chunk) < count
+    return (evalid & geom.p2ok & (geom.z >= NEAR_N)
+            & (geom.alpha >= ALPHA_CUTOFF) & (crossed_in < 0.5))
+
+
+def mapped_depth(z, live):
+    zs = jnp.where(live, z, 1.0)
+    return zs, M_SCALE * (1.0 - NEAR_N / zs)
+
+
+def tri_mats(chunk: int):
+    r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri_i = (r >= c).astype(jnp.float32)
+    tri_s = (r > c).astype(jnp.float32)
+    return tri_i, tri_s
+
+
+def matv(tri, x):
+    # Precision.HIGHEST: the prefix-scan matmuls accumulate log-
+    # transmittance and distortion moments — single-pass bf16 MXU rounding
+    # (the TPU default) injects ~1e-3 error into every composite, so force
+    # the full-precision f32 decomposition.
+    return jnp.dot(tri, x, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)

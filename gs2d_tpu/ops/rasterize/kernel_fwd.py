@@ -1,0 +1,195 @@
+"""Pallas TPU forward rasterization kernel.
+
+One grid program composites one (8, 128)-pixel tile, flattened to
+(1, 1024) lanes. Entries (depth-sorted, CHUNK-aligned per tile — see
+binning.py) are streamed HBM→VMEM with double-buffered async DMA.
+
+TPU-native compositing: instead of a per-splat sequential loop (the CUDA
+shape), each CHUNK of splats is composited in closed form —
+  * per-(splat, pixel) geometry is 2 FMAs per homogeneous component
+    (pixel-linear intersection coefficients from preprocess.py),
+  * the front-to-back transmittance scan becomes log-space prefix sums
+    computed as triangular matmuls on the MXU,
+  * the early-termination contract (stop before transmittance < 1e-4,
+    reference SURVEY.md §2.1 step 3) is reproduced exactly with a
+    keep-mask on the inclusive scan + a per-pixel frozen flag.
+
+Output channels per common.py: rgb(3, no background — added by the caller),
+expected-depth sum, alpha, view normal(3), median depth, distortion,
+noise(3), and M1/M2 aux totals consumed by the backward kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import (ENTRY_F, NUM_OUT, T_EPS, TILE_H, TILE_PX, TILE_W, cdiv)
+from .kernel_common import (chunk_geometry, entry_validity, mapped_depth,
+                            matv, tri_mats)
+
+LOG_T_EPS = math.log(T_EPS)
+NUM_STATE = 16
+# state rows: 0 logT, 1 crossed, 2:5 color, 5 D, 6:9 normal, 9 median,
+#             10 dist, 11:14 noise, 14 M1, 15 M2
+
+
+def _pixel_coords(t, ntx):
+    tile_x = (jax.lax.rem(t, ntx) * TILE_W).astype(jnp.float32)
+    tile_y = (jax.lax.div(t, ntx) * TILE_H).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PX), 1)
+    px = tile_x + jax.lax.rem(lane, TILE_W).astype(jnp.float32)
+    py = tile_y + jax.lax.div(lane, TILE_W).astype(jnp.float32)
+    return px, py
+
+
+def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
+                *, ntx: int, chunk: int):
+    t = pl.program_id(0)
+    start = ts_ref[t]
+    count = tc_ref[t]
+    nchunks = jax.lax.div(count + chunk - 1, chunk)
+    px, py = _pixel_coords(t, ntx)
+
+    state[...] = jnp.zeros((NUM_STATE, TILE_PX), jnp.float32)
+
+    def dma(slot, ci):
+        # entries is SoA (ENTRY_F, P_alloc): lane-dim slices start at
+        # chunk-aligned offsets (chunk % 128 == 0 on hardware), satisfying
+        # Mosaic's 128-lane slice alignment for HBM→VMEM DMA.
+        off = pl.multiple_of(start + ci * chunk, 128)
+        return pltpu.make_async_copy(
+            entries.at[:, pl.ds(off, chunk)],
+            ebuf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    tri_i, tri_s = tri_mats(chunk)
+
+    def body(carry):
+        ci, _ = carry
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+        dma(slot, ci).wait()
+        e = jnp.transpose(ebuf[slot])  # (ENTRY_F, chunk) → (chunk, ENTRY_F)
+
+        geom = chunk_geometry(e, px, py)
+        crossed_in = state[1:2]
+        ok = entry_validity(geom, ci, chunk, count, crossed_in)
+        a0 = jnp.where(ok, geom.alpha, 0.0)
+
+        l = jnp.log1p(-a0)
+        s_incl = matv(tri_i, l)
+        logT_in = state[0:1]
+        keep = (s_incl + logT_in) >= LOG_T_EPS
+        cross = (a0 > 0.0) & jnp.logical_not(keep)
+        a_eff = jnp.where(keep, a0, 0.0)
+        l2 = jnp.where(keep, l, 0.0)
+        s_excl = matv(tri_s, l2)
+        T_before = jnp.exp(logT_in + s_excl)
+        w = a_eff * T_before
+        live = a_eff > 0.0
+        zs, m = mapped_depth(geom.z, live)
+        wm = w * m
+        wm2 = wm * m
+
+        A_pre = 1.0 - T_before
+        M1_pre = state[14:15] + matv(tri_s, wm)
+        M2_pre = state[15:16] + matv(tri_s, wm2)
+        dist_c = (m * m * A_pre + M2_pre - 2.0 * m * M1_pre) * w
+        state[10:11] += jnp.sum(dist_c, axis=0, keepdims=True)
+
+        sel = live & (T_before > 0.5)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_PX), 0)
+        last = jnp.max(jnp.where(sel, ii, -1), axis=0, keepdims=True)
+        med = jnp.sum(jnp.where(sel & (ii == last), zs, 0.0),
+                      axis=0, keepdims=True)
+        state[9:10] = jnp.where(last >= 0, med, state[9:10])
+
+        for ch in range(3):
+            state[2 + ch:3 + ch] += jnp.sum(
+                e[:, 15 + ch:16 + ch] * w, axis=0, keepdims=True)
+            state[6 + ch:7 + ch] += jnp.sum(
+                e[:, 18 + ch:19 + ch] * w, axis=0, keepdims=True)
+            state[11 + ch:12 + ch] += jnp.sum(
+                e[:, 21 + ch:22 + ch] * w, axis=0, keepdims=True)
+        state[5:6] += jnp.sum(zs * w, axis=0, keepdims=True)
+        state[14:15] += jnp.sum(wm, axis=0, keepdims=True)
+        state[15:16] += jnp.sum(wm2, axis=0, keepdims=True)
+        state[0:1] = logT_in + jnp.sum(l2, axis=0, keepdims=True)
+        state[1:2] = jnp.maximum(
+            crossed_in, jnp.max(cross.astype(jnp.float32), axis=0,
+                                keepdims=True))
+
+        done = jnp.sum(state[1:2]) >= float(TILE_PX)
+        return ci + 1, done
+
+    def cond(carry):
+        ci, done = carry
+        return (ci < nchunks) & jnp.logical_not(done)
+
+    final_ci, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+    # Early exit leaves the prefetched next chunk's DMA in flight; drain it
+    # so the semaphore is clean for the next grid program.
+    @pl.when(final_ci < nchunks)
+    def _():
+        dma(jax.lax.rem(final_ci, 2), final_ci).wait()
+
+    T_final = jnp.exp(state[0:1])
+    out_ref[0, 0:3] = state[2:5]
+    out_ref[0, 3:4] = state[5:6]
+    out_ref[0, 4:5] = 1.0 - T_final
+    out_ref[0, 5:8] = state[6:9]
+    out_ref[0, 8:9] = state[9:10]
+    out_ref[0, 9:10] = state[10:11]
+    out_ref[0, 10:13] = state[11:14]
+    out_ref[0, 13:14] = state[14:15]
+    out_ref[0, 14:15] = state[15:16]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "chunk",
+                                             "interpret"))
+def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
+                         tile_count: jnp.ndarray, *, width: int, height: int,
+                         chunk: int = 128,
+                         interpret: bool = False) -> jnp.ndarray:
+    """entries (ENTRY_F, P_alloc) f32 SoA → (T, NUM_OUT, TILE_PX) f32."""
+    if not interpret:
+        assert chunk % 128 == 0, "hardware DMA needs 128-lane-aligned chunks"
+    ntx = cdiv(width, TILE_W)
+    nty = cdiv(height, TILE_H)
+    T = ntx * nty
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, NUM_OUT, TILE_PX), lambda t, *_: (t, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_STATE, TILE_PX), jnp.float32),
+            pltpu.VMEM((2, ENTRY_F, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel, ntx=ntx, chunk=chunk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, NUM_OUT, TILE_PX), jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_count, entries)

@@ -1,0 +1,171 @@
+"""Per-Gaussian projective setup (pure jnp, differentiable).
+
+Replaces the reference CUDA preprocess kernel (SURVEY.md §2.1 step 1) with a
+batched jnp computation XLA can fuse: build the splat→pixel homography
+``Tm``, its pixel-linear intersection coefficients, the dual-conic
+screen-space bounding ellipse, the view-space normal, and SH→RGB.
+
+The homography convention matches the reference bridge's python-side path
+(/root/reference/gaussian_renderer/__init__.py:64-75): row-vector
+``Tm = splat2world[rows 0,1,3] @ (full_proj @ ndc2pix)[cols 0,1,3]`` so that
+``[u, v, 1] @ Tm = [x̃, ỹ, w̃]`` with pixel = (x̃/w̃, ỹ/w̃) and w̃ = camera z.
+
+For a pixel (x, y), the ray-splat intersection point in homogeneous splat
+coordinates is ``p = (c0 − x·c2) × (c1 − y·c2)`` (cross product of the two
+pixel-line preimages, with ci the columns of Tm), which expands to the
+pixel-LINEAR form ``p(x,y) = A + x·B + y·C`` with A = c0×c1, B = c1×c2,
+C = c2×c0. The kernels consume (A, B, C, c2) directly — 2 FMAs per
+component instead of cross products per pixel.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quat import normalize_quat, quat_to_rotmat
+from ..sh import eval_sh
+from ..transforms import ndc_to_pix_matrix
+from .common import NEAR_N, SIGMA_CUTOFF
+
+
+class PreprocessOut(NamedTuple):
+    # differentiable per-Gaussian fields
+    A: jnp.ndarray        # (N,3)
+    B: jnp.ndarray        # (N,3)
+    C: jnp.ndarray        # (N,3)
+    c2: jnp.ndarray       # (N,3) third homography column (depth coefficients)
+    center2d: jnp.ndarray  # (N,2) projected ellipse center (px)
+    opacity: jnp.ndarray  # (N,)
+    rgb: jnp.ndarray      # (N,3)
+    normal: jnp.ndarray   # (N,3) view-space, camera-facing
+    noise: jnp.ndarray    # (N,3) fork's per-Gaussian noise channel
+    # non-differentiable aux (consumed by binning; stop_gradient applied)
+    depth: jnp.ndarray    # (N,) camera-space z of the center
+    extent: jnp.ndarray   # (N,2) 3-sigma half extents in px
+    radii: jnp.ndarray    # (N,) int32 bounding radius in px (0 = culled)
+    visible: jnp.ndarray  # (N,) bool
+
+
+def _cross(a, b):
+    return jnp.cross(a, b)
+
+
+def preprocess(
+    means3d: jnp.ndarray,        # (N,3)
+    scales: jnp.ndarray,         # (N,2) activated (positive) surfel scales
+    quats: jnp.ndarray,          # (N,4) wxyz (normalized internally)
+    opacities: jnp.ndarray,      # (N,) activated in [0,1]
+    world_view: jnp.ndarray,     # (4,4) row-vector
+    full_proj: jnp.ndarray,      # (4,4) row-vector
+    campos: jnp.ndarray,         # (3,)
+    width: int,
+    height: int,
+    sh_degree: int = 0,
+    shs: Optional[jnp.ndarray] = None,        # (N, (deg+1)^2, 3) or None
+    colors: Optional[jnp.ndarray] = None,     # (N,3) precomputed, or None
+    normals_flip: bool = True,
+    scale_modifier: float = 1.0,
+    screen_offsets: Optional[jnp.ndarray] = None,  # (N,2) zeros; see below
+    noise: Optional[jnp.ndarray] = None,           # (N,3) IG2G noise colors
+) -> PreprocessOut:
+    N = means3d.shape[0]
+    R = quat_to_rotmat(normalize_quat(quats))           # (N,3,3)
+    t_u = R[..., :, 0]
+    t_v = R[..., :, 1]
+    t_w = R[..., :, 2]
+    su = scales[..., 0:1] * scale_modifier
+    sv = scales[..., 1:2] * scale_modifier
+
+    # splat2world rows [0,1,3] in row-vector form: (N,3,4)
+    ones = jnp.ones((N, 1), means3d.dtype)
+    zeros = jnp.zeros((N, 1), means3d.dtype)
+    row0 = jnp.concatenate([su * t_u, zeros], axis=-1)
+    row1 = jnp.concatenate([sv * t_v, zeros], axis=-1)
+    row2 = jnp.concatenate([means3d, ones], axis=-1)
+    m_splat = jnp.stack([row0, row1, row2], axis=-2)    # (N,3,4)
+
+    ndc2pix = jnp.asarray(ndc_to_pix_matrix(width, height), means3d.dtype)
+    world2pix = full_proj @ ndc2pix                      # (4,4) row-vector
+    w2p = world2pix[:, jnp.array([0, 1, 3])]             # (4,3): x̃, ỹ, w̃
+    Tm = m_splat @ w2p                                   # (N,3,3)
+
+    c0 = Tm[..., :, 0]
+    c1 = Tm[..., :, 1]
+    c2 = Tm[..., :, 2]
+    A = _cross(c0, c1)
+    B = _cross(c1, c2)
+    C = _cross(c2, c0)
+
+    # Screen-space gradient side channel: a rigid screen translation by
+    # (dx, dy) maps c0 → c0 + dx·c2, c1 → c1 + dy·c2, which leaves B, C,
+    # c2 unchanged and maps A → A − dx·B − dy·C. Injecting an all-zeros
+    # offset parameter here makes jax.grad w.r.t. it return exactly the
+    # per-Gaussian screen-position gradient — the functional counterpart
+    # of the reference's retain_grad() dummy means2D tensor
+    # (/root/reference/gaussian_renderer/__init__.py:26-31, consumed for
+    # densification at scene/gaussian_model.py:405-407).
+    if screen_offsets is not None:
+        A = (A - screen_offsets[..., 0:1] * B - screen_offsets[..., 1:2] * C)
+
+    # Dual-conic bounding ellipse of the homography image of the unit disc.
+    sgn = jnp.asarray([1.0, 1.0, -1.0], means3d.dtype)
+    d = jnp.sum(c2 * c2 * sgn, axis=-1)                  # (N,)
+    d_ok = jnp.abs(d) > 1e-12
+    d_safe = jnp.where(d_ok, d, 1.0)
+    f = sgn / d_safe[..., None]
+    cx = jnp.sum(f * c0 * c2, axis=-1)
+    cy = jnp.sum(f * c1 * c2, axis=-1)
+    tx = jnp.sum(f * c0 * c0, axis=-1)
+    ty = jnp.sum(f * c1 * c1, axis=-1)
+    half2 = jnp.stack([cx * cx - tx, cy * cy - ty], axis=-1)
+    extent = SIGMA_CUTOFF * jnp.sqrt(jnp.maximum(half2, 1e-4))
+    center2d = jnp.stack([cx, cy], axis=-1)
+
+    # camera-space depth of the center (row-vector view transform)
+    p_view = means3d @ world_view[:3, :3] + world_view[3, :3]
+    depth = p_view[..., 2]
+
+    visible = (depth > NEAR_N) & d_ok & jnp.all(jnp.isfinite(extent), axis=-1)
+    # rect-vs-image overlap cull
+    visible &= (center2d[..., 0] + extent[..., 0] >= 0.0)
+    visible &= (center2d[..., 0] - extent[..., 0] <= width - 1.0)
+    visible &= (center2d[..., 1] + extent[..., 1] >= 0.0)
+    visible &= (center2d[..., 1] - extent[..., 1] <= height - 1.0)
+
+    radii = jnp.where(
+        visible,
+        jnp.ceil(jnp.max(extent, axis=-1)).astype(jnp.int32),
+        0,
+    )
+
+    # view-space normal, flipped toward the camera (preprocess spec §2.1)
+    n_view = t_w @ world_view[:3, :3]
+    if normals_flip:
+        flip = jnp.where(jnp.sum(p_view * n_view, axis=-1) < 0.0, 1.0, -1.0)
+        n_view = n_view * flip[..., None]
+
+    if colors is not None:
+        rgb = colors
+    elif shs is not None:
+        dirs = means3d - campos
+        dirs = dirs * jax.lax.rsqrt(
+            jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-16)
+        # shs: (N, K, 3) coefficient-major → channel-major for eval_sh
+        sh_cm = jnp.swapaxes(shs, -1, -2)                # (N, 3, K)
+        rgb = jnp.maximum(eval_sh(sh_degree, sh_cm, dirs) + 0.5, 0.0)
+    else:
+        rgb = jnp.ones((N, 3), means3d.dtype)
+
+    if noise is None:
+        noise = jnp.zeros((N, 3), means3d.dtype)
+
+    stop = jax.lax.stop_gradient
+    return PreprocessOut(
+        A=A, B=B, C=C, c2=c2, center2d=center2d,
+        opacity=opacities.reshape(N), rgb=rgb, normal=n_view, noise=noise,
+        depth=stop(depth), extent=stop(extent), radii=stop(radii),
+        visible=stop(visible),
+    )

@@ -1,0 +1,94 @@
+"""Forward rasterizer: oracle sanity + Pallas-vs-oracle parity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs2d_tpu.ops.rasterize.api import RasterizeConfig, rasterize
+from gs2d_tpu.ops.rasterize.common import (OUT_ALPHA, OUT_DEPTH, OUT_DIST,
+                                           OUT_MEDIAN, OUT_RGB)
+from gs2d_tpu.ops.rasterize.oracle import rasterize_oracle
+from gs2d_tpu.ops.rasterize.preprocess import preprocess
+
+from .utils import lookat_camera, random_cloud
+
+
+def _pre(cam, n=200, seed=0, opaque=None, **kw):
+    means, scales, quats, opac, rgb, noise = random_cloud(n, seed, **kw)
+    if opaque is not None:
+        opac = np.full_like(opac, opaque)
+    return preprocess(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), cam.world_view, cam.full_proj, cam.campos,
+        cam.width, cam.height, colors=jnp.asarray(rgb),
+        noise=jnp.asarray(noise))
+
+
+def test_oracle_single_splat_center():
+    """A large opaque splat at the origin must dominate the image center."""
+    cam = lookat_camera(width=128, height=64)
+    means = jnp.array([[0.0, 0.0, 0.0]])
+    scales = jnp.array([[0.5, 0.5]])
+    quats = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    opac = jnp.array([0.99])
+    rgb = jnp.array([[1.0, 0.0, 0.0]])
+    pre = preprocess(means, scales, quats, opac, cam.world_view,
+                     cam.full_proj, cam.campos, cam.width, cam.height,
+                     colors=rgb)
+    out = rasterize_oracle(pre, cam.width, cam.height)
+    cx, cy = 63, 32  # (W-1)/2-ish center
+    assert out[OUT_ALPHA, cy, cx] > 0.9
+    assert out[OUT_RGB.start, cy, cx] > 0.9
+    # depth ≈ 4 (camera at z=-4 looking at origin)
+    d = out[OUT_DEPTH, cy, cx] / out[OUT_ALPHA, cy, cx]
+    assert abs(float(d) - 4.0) < 0.05
+    assert abs(float(out[OUT_MEDIAN, cy, cx]) - 4.0) < 0.05
+    # corners empty
+    assert out[OUT_ALPHA, 0, 0] < 1e-3
+
+
+def test_oracle_depth_order_invariance():
+    """Shuffling input order must not change the composite (depth sort)."""
+    cam = lookat_camera()
+    means, scales, quats, opac, rgb, noise = random_cloud(50, 3)
+    perm = np.random.default_rng(1).permutation(50)
+
+    def run(ms, sc, qu, op, cl):
+        pre = preprocess(jnp.asarray(ms), jnp.asarray(sc), jnp.asarray(qu),
+                         jnp.asarray(op), cam.world_view, cam.full_proj,
+                         cam.campos, cam.width, cam.height,
+                         colors=jnp.asarray(cl))
+        return rasterize_oracle(pre, cam.width, cam.height)
+
+    a = run(means, scales, quats, opac, rgb)
+    b = run(means[perm], scales[perm], quats[perm], opac[perm], rgb[perm])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed,n,opaque", [(0, 200, None), (1, 500, None),
+                                           (2, 100, 0.95), (5, 37, None)])
+def test_pallas_matches_oracle(seed, n, opaque):
+    cam = lookat_camera(width=256, height=128)
+    pre = _pre(cam, n=n, seed=seed, opaque=opaque)
+    ref = rasterize_oracle(pre, cam.width, cam.height)
+    cfg = RasterizeConfig(width=cam.width, height=cam.height,
+                          pairs_capacity=1 << 14, chunk=16, interpret=True)
+    out, aux = rasterize(pre, cfg)
+    assert not bool(aux["overflow"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_heavy_occlusion_early_exit():
+    """Many opaque overlapping splats — exercises the crossing freeze."""
+    cam = lookat_camera(width=128, height=64)
+    pre = _pre(cam, n=300, seed=7, opaque=0.99, spread=0.3,
+               scale_lo=0.2, scale_hi=0.5)
+    ref = rasterize_oracle(pre, cam.width, cam.height)
+    cfg = RasterizeConfig(width=cam.width, height=cam.height,
+                          pairs_capacity=1 << 14, chunk=16, interpret=True)
+    out, aux = rasterize(pre, cfg)
+    assert not bool(aux["overflow"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
