@@ -1,0 +1,235 @@
+"""Mesh extraction: render all views, TSDF-fuse, marching tetrahedra.
+
+Capability of the reference GaussianExtractor
+(/root/reference/utils/mesh_utils.py:73-312): per-view RGB + surf-depth
+rendering, camera-orbit bounding-sphere estimation, bounded TSDF fusion
+(Open3D replaced by ops/tsdf.py on device + ops/marching.py), unbounded
+extraction with MipNeRF-360 contraction and adaptive truncation, image
+export, and largest-cluster post-processing.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gaussians import GaussianState
+from ..ops.marching import largest_clusters, marching_tets
+from ..ops.rasterize.api import RasterizeConfig
+from ..ops.transforms import fov2focal
+from ..ops.tsdf import TSDFVolume, integrate, make_volume
+from ..scene.cameras import CameraData
+from ..scene.ply import write_mesh_ply
+from .renderer import render
+
+
+class GaussianExtractor:
+    def __init__(self, state: GaussianState, *, max_sh_degree: int = 3,
+                 pairs_capacity: int = 1 << 21, chunk: int = 128,
+                 interpret: bool = False, depth_ratio: float = 0.0,
+                 bg_color=(0.0, 0.0, 0.0)):
+        self.state = state
+        self.max_sh_degree = max_sh_degree
+        self.pairs_capacity = pairs_capacity
+        self.chunk = chunk
+        self.interpret = interpret
+        self.depth_ratio = depth_ratio
+        self.bg = jnp.asarray(bg_color, jnp.float32)
+        self.clean()
+
+    def clean(self):
+        self.rgbmaps: List[np.ndarray] = []
+        self.depthmaps: List[np.ndarray] = []
+        self.alphamaps: List[np.ndarray] = []
+        self.normalmaps: List[np.ndarray] = []
+        self.viewpoints: List[CameraData] = []
+
+    def reconstruction(self, viewpoints: List[CameraData]):
+        """Render every view and stash rgb / surf-depth / alpha / normal
+        (reference :104-137)."""
+        self.clean()
+        self.viewpoints = list(viewpoints)
+        cfg_cache = {}
+        for cam_data in viewpoints:
+            cam = cam_data.camera
+            key = (cam.width, cam.height)
+            if key not in cfg_cache:
+                cfg_cache[key] = RasterizeConfig(
+                    width=cam.width, height=cam.height,
+                    pairs_capacity=self.pairs_capacity, chunk=self.chunk,
+                    interpret=self.interpret)
+            pkg = render(cam, self.state, cfg_cache[key], self.bg,
+                         max_sh_degree=self.max_sh_degree,
+                         depth_ratio=self.depth_ratio)
+            self.rgbmaps.append(np.asarray(jnp.clip(pkg["render"], 0, 1)))
+            self.depthmaps.append(np.asarray(pkg["surf_depth"]))
+            self.alphamaps.append(np.asarray(pkg["rend_alpha"]))
+            self.normalmaps.append(np.asarray(pkg["rend_normal"]))
+
+    def estimate_bounding_sphere(self):
+        """Focus point + min camera distance (reference :139-151)."""
+        from ..utils.render_paths import focus_point_fn
+        c2ws = np.array([np.linalg.inv(np.asarray(
+            cd.camera.world_view.T)) for cd in self.viewpoints])
+        poses = c2ws[:, :3, :] @ np.diag([1, -1, -1, 1])
+        center = focus_point_fn(poses)
+        self.radius = float(np.linalg.norm(c2ws[:, :3, 3] - center,
+                                           axis=-1).min())
+        self.center = center
+        return self.center, self.radius
+
+    def extract_mesh_bounded(self, voxel_size=0.004, sdf_trunc=0.02,
+                             depth_trunc=3.0, max_dim=512):
+        """Bounded TSDF fusion (reference :154-195)."""
+        if not hasattr(self, "radius"):
+            self.estimate_bounding_sphere()
+        vol = make_volume(self.center, depth_trunc / 2.0 + self.radius,
+                          voxel_size, max_dim=max_dim)
+        for i, cd in enumerate(self.viewpoints):
+            cam = cd.camera
+            depth = self.depthmaps[i].reshape(cam.height, cam.width)
+            # mask out low-alpha depth like the reference's masked
+            # integrate (background has no surface)
+            mask = self.alphamaps[i].reshape(cam.height, cam.width) > 0.5
+            depth = np.where(mask, depth, 0.0)
+            vol = integrate(
+                vol, jnp.asarray(depth), jnp.asarray(self.rgbmaps[i]),
+                cam.world_view,
+                fov2focal(cam.fovx, cam.width),
+                fov2focal(cam.fovy, cam.height),
+                cam.width, cam.height,
+                float(sdf_trunc), float(depth_trunc))
+        self.volume = vol
+        verts, faces = marching_tets(
+            np.asarray(vol.tsdf), np.asarray(vol.origin), vol.voxel_size,
+            mask=np.asarray(vol.weight) > 0)
+        colors = self._sample_colors(vol, verts)
+        return verts, faces, colors
+
+    def extract_mesh_unbounded(self, resolution=512):
+        """Unbounded meshing with MipNeRF-360 contraction
+        (reference :198-293): evaluate a contracted-space SDF grid by
+        projective fusion over all views with adaptive truncation, then
+        run marching tets in contracted space and un-contract vertices."""
+        if not hasattr(self, "radius"):
+            self.estimate_bounding_sphere()
+
+        def contract(x):
+            n = np.linalg.norm(x, axis=-1, keepdims=True)
+            return np.where(n <= 1, x, (2 - 1 / n) * x / n)
+
+        def uncontract(y):
+            n = np.linalg.norm(y, axis=-1, keepdims=True)
+            return np.where(n <= 1, y, 1 / (2 - n) * y / n)
+
+        # normalize world → unit sphere around the scene center
+        scale = 1.0 / self.radius
+
+        N = resolution
+        grid = np.stack(np.meshgrid(
+            *([np.linspace(-2 + 2 / N, 2 - 2 / N, N)] * 3),
+            indexing="ij"), -1).astype(np.float32)
+        world = uncontract(grid.reshape(-1, 3)) / scale + self.center
+        norm_pts = grid.reshape(-1, 3)
+
+        sdf_acc = np.full((N ** 3,), 1.0, np.float32)
+        w_acc = np.zeros((N ** 3,), np.float32)
+        col_acc = np.zeros((N ** 3, 3), np.float32)
+        for i, cd in enumerate(self.viewpoints):
+            cam = cd.camera
+            sdf_i, col_i, ok = self._project_sdf(
+                world, cam, self.depthmaps[i], self.rgbmaps[i],
+                self.alphamaps[i])
+            # adaptive truncation ∝ 1/(2-|y|) (reference :229-232)
+            r = np.linalg.norm(norm_pts, axis=-1)
+            sdf_trunc = 5 * 2 / N * np.where(r > 1, 1.0 / (2 - np.minimum(
+                r, 1.9)), 1.0)
+            ok &= sdf_i > -sdf_trunc
+            d = np.clip(sdf_i / sdf_trunc, -1, 1)
+            w = ok.astype(np.float32)
+            new_w = w_acc + w
+            upd = new_w > 0
+            sdf_acc[upd] = np.where(
+                w[upd] > 0,
+                (sdf_acc[upd] * w_acc[upd] + d[upd]) / new_w[upd],
+                sdf_acc[upd])
+            col_acc[upd] = np.where(
+                (w[upd] > 0)[:, None],
+                (col_acc[upd] * w_acc[upd, None] + col_i[upd])
+                / new_w[upd, None], col_acc[upd])
+            w_acc = new_w
+
+        sdf_grid = sdf_acc.reshape(N, N, N)
+        verts_c, faces = marching_tets(
+            sdf_grid, origin=np.array([-2 + 2 / N] * 3),
+            voxel_size=(4 - 4 / N) / (N - 1),
+            mask=(w_acc > 0).reshape(N, N, N))
+        verts = uncontract(verts_c) / scale + self.center
+        # colors by nearest grid sample
+        gi = np.clip(((verts_c + 2) / 4 * N).astype(np.int64), 0, N - 1)
+        colors = col_acc.reshape(N, N, N, 3)[gi[:, 0], gi[:, 1], gi[:, 2]]
+        return verts.astype(np.float32), faces, colors
+
+    def _project_sdf(self, world, cam, depthmap, rgbmap, alphamap):
+        w2v = np.asarray(cam.world_view)
+        p = world @ w2v[:3, :3] + w2v[3, :3]
+        z = p[:, 2]
+        fx = fov2focal(cam.fovx, cam.width)
+        fy = fov2focal(cam.fovy, cam.height)
+        u = p[:, 0] / np.maximum(z, 1e-9) * fx + (cam.width - 1) / 2
+        v = p[:, 1] / np.maximum(z, 1e-9) * fy + (cam.height - 1) / 2
+        inb = ((z > 1e-4) & (u >= 0) & (u <= cam.width - 1)
+               & (v >= 0) & (v <= cam.height - 1))
+        ui = np.clip(u.astype(np.int64), 0, cam.width - 1)
+        vi = np.clip(v.astype(np.int64), 0, cam.height - 1)
+        depth = depthmap.reshape(cam.height, cam.width)[vi, ui]
+        alpha = alphamap.reshape(cam.height, cam.width)[vi, ui]
+        col = rgbmap.reshape(3, cam.height, cam.width)[:, vi, ui].T
+        ok = inb & (alpha > 0.5) & (depth > 1e-6)
+        return (depth - z).astype(np.float32), col.astype(np.float32), ok
+
+    def _sample_colors(self, vol: TSDFVolume, verts: np.ndarray):
+        if len(verts) == 0:
+            return np.zeros((0, 3), np.float32)
+        g = (verts - np.asarray(vol.origin)) / vol.voxel_size
+        gi = np.clip(g.astype(np.int64), 0,
+                     np.array(vol.tsdf.shape) - 1)
+        return np.asarray(vol.color)[gi[:, 0], gi[:, 1], gi[:, 2]]
+
+    def export_image(self, path: str):
+        """renders/, gt/, vis/ layout (reference :296-312)."""
+        from PIL import Image
+        os.makedirs(os.path.join(path, "renders"), exist_ok=True)
+        os.makedirs(os.path.join(path, "gt"), exist_ok=True)
+        os.makedirs(os.path.join(path, "vis"), exist_ok=True)
+        for idx, cd in enumerate(self.viewpoints):
+            def save(arr, sub, name):
+                img = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+                Image.fromarray(img).save(
+                    os.path.join(path, sub, name))
+            save(self.rgbmaps[idx].transpose(1, 2, 0), "renders",
+                 f"{idx:05d}.png")
+            if cd.image is not None:
+                save(cd.image.transpose(1, 2, 0), "gt", f"{idx:05d}.png")
+            d = self.depthmaps[idx][0]
+            save(np.stack([d / max(d.max(), 1e-6)] * 3, -1), "vis",
+                 f"depth_{idx:05d}.png")
+            save(self.normalmaps[idx].transpose(1, 2, 0) * 0.5 + 0.5,
+                 "vis", f"normal_{idx:05d}.png")
+
+
+def post_process_mesh(verts, faces, colors=None, num_cluster=50):
+    """Keep the num_cluster largest connected components
+    (reference utils/mesh_utils.py:22-43)."""
+    v2, f2, used = largest_clusters(verts, faces, num_clusters=num_cluster)
+    c2 = colors[used] if colors is not None else None
+    return v2, f2, c2
+
+
+def save_mesh(path, verts, faces, colors=None):
+    write_mesh_ply(path, verts, faces, colors)

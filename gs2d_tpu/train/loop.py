@@ -1,0 +1,168 @@
+"""Host-side training driver.
+
+The python counterpart of /root/reference/train.py:31-168: random camera
+order, jitted step, densify/prune cadence (every 100 iters in [500,
+15000]), opacity reset every 3000 (plus the white-background reset at
+densify_from_iter), periodic PLY saves/checkpoints, EMA progress logging.
+TPU-specific additions: capacity-bucket growth and pairs-capacity overflow
+escalation (both recompile the jitted step, both rare).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (ModelParams, OptimizationParams, PipelineParams,
+                      RuntimeParams)
+from ..models.densify import densify_and_prune, reset_opacity
+from ..models.gaussians import grow_capacity
+from ..models.io import save_checkpoint
+from ..ops.rasterize.api import RasterizeConfig
+from ..scene.scene import Scene
+from ..train.optim import init_adam
+from ..train.step import TrainState, make_train_step
+
+
+def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
+          rt: RuntimeParams, *,
+          test_iterations: List[int] = (7000, 30000),
+          save_iterations: List[int] = (7000, 30000),
+          checkpoint_iterations: List[int] = (),
+          start_checkpoint: Optional[str] = None,
+          mesh=None,
+          log_fn: Optional[Callable] = None,
+          report_fn: Optional[Callable] = None):
+    scene = Scene(model, capacity=rt.initial_capacity, seed=rt.seed)
+    gaussians = scene.gaussians
+    opt_state = init_adam(gaussians.params)
+    first_iter = 0
+    if start_checkpoint:
+        from ..models.io import load_checkpoint
+        gaussians, opt_state, first_iter, _ = load_checkpoint(
+            start_checkpoint)
+
+    spatial_lr_scale = scene.cameras_extent
+    bg = jnp.asarray([1.0, 1.0, 1.0] if model.white_background
+                     else [0.0, 0.0, 0.0], jnp.float32)
+
+    cams = scene.get_train_cameras()
+    assert cams, "no training cameras"
+    W, H = cams[0].camera.width, cams[0].camera.height
+    for c in cams:
+        assert (c.camera.width, c.camera.height) == (W, H), \
+            "mixed resolutions need bucketing (todo)"
+
+    pairs_capacity = rt.pairs_capacity
+    key = jax.random.PRNGKey(rt.seed)
+
+    def build_step():
+        rcfg = RasterizeConfig(width=W, height=H,
+                               pairs_capacity=pairs_capacity,
+                               chunk=rt.chunk, interpret=rt.interpret)
+        return make_train_step(
+            rcfg, opt, max_sh_degree=model.sh_degree,
+            spatial_lr_scale=spatial_lr_scale,
+            depth_ratio=pipe.depth_ratio, mesh=mesh)
+
+    step_fn = build_step()
+    ts = TrainState(gaussians=gaussians, opt=opt_state, key=key)
+
+    ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0}
+    stack: List[int] = []
+    rng = random.Random(rt.seed)
+    t_start = time.time()
+
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        if not stack:
+            stack = list(range(len(cams)))
+        cam_data = cams[stack.pop(rng.randrange(len(stack)))]
+        gt = jnp.asarray(cam_data.image)
+
+        ts, metrics = step_fn(ts, cam_data.camera, gt,
+                              jnp.int32(iteration), bg)
+
+        # densification schedule (train.py:126-135)
+        if iteration < opt.densify_until_iter:
+            if (iteration > opt.densify_from_iter
+                    and iteration % opt.densification_interval == 0):
+                size_threshold = 20.0 \
+                    if iteration > opt.opacity_reset_interval else 0.0
+                key, sub = jax.random.split(ts.key if ts.key is not None
+                                            else key)
+                gs_new, opt_new = densify_and_prune(
+                    ts.gaussians, ts.opt, sub,
+                    jnp.float32(opt.densify_grad_threshold),
+                    jnp.float32(opt.opacity_cull),
+                    jnp.float32(scene.cameras_extent),
+                    jnp.float32(size_threshold),
+                    jnp.float32(opt.percent_dense))
+                ts = TrainState(gaussians=gs_new, opt=opt_new, key=key)
+
+                # capacity growth (host-side re-pad, recompiles)
+                n_act = int(ts.gaussians.num_active())
+                cap = ts.gaussians.capacity
+                if n_act > cap / rt.capacity_headroom:
+                    new_cap = cap * 2
+                    ts = TrainState(
+                        gaussians=grow_capacity(ts.gaussians, new_cap),
+                        opt=_grow_opt(ts.opt, new_cap), key=ts.key)
+                    step_fn = build_step()
+                    if log_fn:
+                        log_fn(iteration,
+                               {"event": f"capacity → {new_cap}"})
+
+            if (iteration % opt.opacity_reset_interval == 0
+                    or (model.white_background
+                        and iteration == opt.densify_from_iter)):
+                gs_new, opt_new = reset_opacity(ts.gaussians, ts.opt)
+                ts = TrainState(gaussians=gs_new, opt=opt_new, key=ts.key)
+
+        if bool(metrics["overflow"]):
+            pairs_capacity *= 2
+            step_fn = build_step()
+            if log_fn:
+                log_fn(iteration,
+                       {"event": f"pairs_capacity → {pairs_capacity}"})
+
+        ema["loss"] = 0.4 * float(metrics["loss"]) + 0.6 * ema["loss"]
+        ema["dist"] = 0.4 * float(metrics["dist_loss"]) + 0.6 * ema["dist"]
+        ema["normal"] = (0.4 * float(metrics["normal_loss"])
+                         + 0.6 * ema["normal"])
+
+        if log_fn and iteration % 10 == 0:
+            log_fn(iteration, {
+                "loss": ema["loss"], "dist": ema["dist"],
+                "normal": ema["normal"],
+                "points": int(metrics["num_points"]),
+                "elapsed_s": time.time() - t_start,
+            })
+        if report_fn and iteration in test_iterations:
+            report_fn(iteration, ts, scene)
+        if iteration in save_iterations and scene.model_path:
+            scene.save(iteration, ts.gaussians)
+        if iteration in checkpoint_iterations and scene.model_path:
+            save_checkpoint(
+                os.path.join(scene.model_path, f"chkpnt{iteration}.npz"),
+                ts.gaussians, ts.opt, iteration, spatial_lr_scale)
+
+    return ts, scene
+
+
+def _grow_opt(opt, new_cap):
+    from ..train.optim import AdamState
+
+    def pad(x):
+        pw = [(0, new_cap - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.asarray(np.pad(np.asarray(x), pw))
+
+    return AdamState(mu=jax.tree_util.tree_map(pad, opt.mu),
+                     nu=jax.tree_util.tree_map(pad, opt.nu),
+                     step=opt.step)

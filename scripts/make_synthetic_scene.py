@@ -1,0 +1,132 @@
+"""Generate a synthetic multi-view dataset in Blender/NeRF-synthetic layout.
+
+Ground truth is a structured surfel cloud (a colored torus of oriented
+disks); views are rendered with the framework's own oracle rasterizer and
+written as PNGs + transforms_train/test.json, so `python train.py -s
+<dir>` exercises the full real-data pipeline end-to-end without any
+external dataset (zero-egress environment).
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+
+def make_torus_surfels(n=4000, R=0.8, r=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    theta = rng.uniform(0, 2 * np.pi, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    cx = np.cos(theta) * (R + r * np.cos(phi))
+    cy = np.sin(theta) * (R + r * np.cos(phi))
+    cz = r * np.sin(phi)
+    pts = np.stack([cx, cy, cz], -1).astype(np.float32)
+    # surface normal
+    center_ring = np.stack([R * np.cos(theta), R * np.sin(theta),
+                            0 * theta], -1)
+    nrm = (pts - center_ring) / r
+    # quaternion aligning disk normal (local z) to nrm
+    z = np.array([0.0, 0.0, 1.0])
+    v = np.cross(np.tile(z, (n, 1)), nrm)
+    w = 1.0 + nrm @ z
+    quat = np.concatenate([w[:, None], v], -1)
+    quat /= np.maximum(np.linalg.norm(quat, axis=-1, keepdims=True), 1e-8)
+    # coherent color from angle
+    rgb = np.stack([0.5 + 0.5 * np.cos(theta),
+                    0.5 + 0.5 * np.sin(2 * phi),
+                    0.5 + 0.5 * np.sin(theta + phi)], -1).astype(np.float32)
+    scales = np.full((n, 2), 0.035, np.float32)
+    opac = np.full((n,), 0.85, np.float32)
+    return pts, scales, quat.astype(np.float32), opac, rgb
+
+
+def orbit_c2w(theta, elev=0.5, dist=3.2):
+    """OpenGL-convention camera on an orbit looking at the origin."""
+    eye = np.array([dist * math.cos(theta) * math.cos(elev),
+                    dist * math.sin(theta) * math.cos(elev),
+                    dist * math.sin(elev)])
+    fwd = -eye / np.linalg.norm(eye)
+    up0 = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up0)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    c2w = np.eye(4)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = up
+    c2w[:3, 2] = -fwd          # OpenGL: camera looks along -z
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/synth_torus")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--n_train", type=int, default=40)
+    ap.add_argument("--n_test", type=int, default=8)
+    ap.add_argument("--n_surfels", type=int, default=4000)
+    ap.add_argument("--white_background", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from gs2d_tpu.ops.rasterize.api import RasterizeConfig, rasterize
+    from gs2d_tpu.ops.rasterize.preprocess import preprocess
+    from gs2d_tpu.scene.cameras import make_camera
+
+    W = H = args.size
+    fovx = math.radians(50.0)
+    pts, scales, quat, opac, rgb = make_torus_surfels(args.n_surfels)
+    cfg = RasterizeConfig(
+        width=W, height=H, pairs_capacity=1 << 18,
+        chunk=128 if os.environ.get("JAX_PLATFORMS") != "cpu" else 16,
+        interpret=os.environ.get("JAX_PLATFORMS") == "cpu")
+    bgv = 1.0 if args.white_background else 0.0
+
+    def render_view(c2w):
+        c2w_cv = c2w.copy()
+        c2w_cv[:3, 1:3] *= -1
+        w2c = np.linalg.inv(c2w_cv)
+        R = w2c[:3, :3].T
+        T = w2c[:3, 3]
+        fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+        cam = make_camera(R, T, fovx, fovy, W, H)
+        pre = preprocess(jnp.asarray(pts), jnp.asarray(scales),
+                         jnp.asarray(quat), jnp.asarray(opac),
+                         cam.world_view, cam.full_proj, cam.campos, W, H,
+                         colors=jnp.asarray(rgb))
+        out, aux = rasterize(pre, cfg)
+        assert not bool(aux["overflow"])
+        alpha = np.asarray(out[4])
+        img = np.asarray(out[0:3]) + (1 - alpha) * bgv
+        rgba = np.concatenate([np.clip(img, 0, 1),
+                               np.clip(alpha[None], 0, 1)], 0)
+        return (rgba.transpose(1, 2, 0) * 255).astype(np.uint8)
+
+    os.makedirs(args.out, exist_ok=True)
+    for split, n in (("train", args.n_train), ("test", args.n_test)):
+        os.makedirs(os.path.join(args.out, split), exist_ok=True)
+        frames = []
+        for i in range(n):
+            theta = 2 * np.pi * (i + (0.5 if split == "test" else 0)) / n
+            elev = 0.35 + 0.3 * math.sin(3.1 * theta)
+            c2w = orbit_c2w(theta, elev)
+            img = render_view(c2w)
+            Image.fromarray(img, "RGBA").save(
+                os.path.join(args.out, split, f"r_{i}.png"))
+            frames.append({"file_path": f"{split}/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(args.out,
+                               f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": fovx, "frames": frames}, f)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

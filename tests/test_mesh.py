@@ -1,0 +1,110 @@
+"""TSDF fusion + marching tetrahedra + mesh IO."""
+
+import numpy as np
+
+from gs2d_tpu.ops.marching import largest_clusters, marching_tets
+from gs2d_tpu.scene.ply import read_mesh_ply, write_mesh_ply
+
+
+def _sphere_sdf(n=48, r=0.6):
+    xs = np.linspace(-1, 1, n)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    return np.linalg.norm(g, axis=-1) - r, xs[1] - xs[0]
+
+
+def test_marching_tets_sphere():
+    sdf, voxel = _sphere_sdf()
+    verts, faces = marching_tets(sdf, origin=np.array([-1.0, -1, -1]),
+                                 voxel_size=voxel)
+    assert len(verts) > 500 and len(faces) > 1000
+    radii = np.linalg.norm(verts, axis=-1)
+    assert abs(radii.mean() - 0.6) < 0.02
+    assert radii.std() < 0.02
+    # outward orientation: normal·position > 0 for a sphere
+    tri = verts[faces]
+    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    cent = tri.mean(1)
+    frac_out = ((nrm * cent).sum(-1) > 0).mean()
+    assert frac_out > 0.95
+
+
+def test_largest_clusters():
+    # two separated spheres → keep 1 cluster
+    xs = np.linspace(-1, 1, 40)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    s1 = np.linalg.norm(g - np.array([0.45, 0, 0]), axis=-1) - 0.3
+    s2 = np.linalg.norm(g + np.array([0.45, 0, 0]), axis=-1) - 0.15
+    sdf = np.minimum(s1, s2)
+    verts, faces = marching_tets(sdf)
+    v2, f2, used = largest_clusters(verts, faces, num_clusters=1)
+    assert len(f2) < len(faces)
+    assert len(v2) == len(used)
+    # the big sphere survives (positive x side)
+    assert (v2[:, 0] > 19).mean() > 0.99  # voxel coords: x>half grid
+
+
+def test_mesh_ply_roundtrip(tmp_path):
+    sdf, voxel = _sphere_sdf(24)
+    verts, faces = marching_tets(sdf)
+    colors = np.random.default_rng(0).random((len(verts), 3)) \
+        .astype(np.float32)
+    p = str(tmp_path / "mesh.ply")
+    write_mesh_ply(p, verts, faces, colors)
+    v2, f2, c2 = read_mesh_ply(p)
+    np.testing.assert_allclose(v2, verts, rtol=1e-6)
+    np.testing.assert_array_equal(f2, faces)
+    assert np.abs(c2 - colors).max() < 1 / 255 + 1e-6
+
+
+def test_tsdf_integrate_sphere_depth():
+    """Fuse synthetic depth maps of a sphere from 6 axis views."""
+    import jax.numpy as jnp
+
+    from gs2d_tpu.ops.tsdf import integrate, make_volume
+    from gs2d_tpu.scene.cameras import make_camera
+    import math
+
+    r = 0.5
+    W = H = 96
+    fov = math.radians(40)
+    vol = make_volume(np.zeros(3), 0.9, 0.025)
+    # cameras on ±x, ±y, ±z looking at origin (use lookat via make_camera)
+    def lookat(eye):
+        eye = np.asarray(eye, np.float64)
+        fwd = -eye / np.linalg.norm(eye)
+        up0 = np.array([0.0, 0.0, 1.0]) if abs(fwd[2]) < 0.9 else \
+            np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up0)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        R_c2w = np.stack([right, up, fwd], 1)   # cam axes in world
+        t = -R_c2w.T @ eye
+        return make_camera(R_c2w, t, fov, fov, W, H)
+
+    for eye in ([2.5, 0, 0], [-2.5, 0, 0], [0, 2.5, 0], [0, -2.5, 0],
+                [0, 0, 2.5], [0, 0, -2.5]):
+        cam = lookat(eye)
+        # analytic sphere depth map
+        f = (W / 2) / math.tan(fov / 2)
+        xs = (np.arange(W) - (W - 1) / 2) / f
+        ys = (np.arange(H) - (H - 1) / 2) / f
+        gx, gy = np.meshgrid(xs, ys, indexing="xy")
+        d_cam = np.linalg.norm(eye)
+        # ray: o + t*dir in cam space; sphere at distance d_cam on +z
+        dirz = 1.0 / np.sqrt(1 + gx ** 2 + gy ** 2)
+        b = d_cam * dirz
+        disc = b ** 2 - (d_cam ** 2 - r ** 2)
+        hit = disc > 0
+        t_hit = b - np.sqrt(np.maximum(disc, 0))
+        depth = np.where(hit, t_hit * dirz, 0.0).astype(np.float32)
+        color = jnp.ones((3, H, W), jnp.float32)
+        vol = integrate(vol, jnp.asarray(depth), color, cam.world_view,
+                        f, f, W, H, 0.1, 3.0)
+
+    from gs2d_tpu.ops.marching import marching_tets
+    verts, faces = marching_tets(np.asarray(vol.tsdf),
+                                 np.asarray(vol.origin), vol.voxel_size,
+                                 mask=np.asarray(vol.weight) > 0)
+    assert len(verts) > 200
+    radii = np.linalg.norm(verts, axis=-1)
+    assert abs(np.median(radii) - r) < 0.03

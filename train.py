@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Same surface as the reference's `python train.py -s <data> -m <out>`
+(/root/reference/train.py:252-277) with the reference flag names, plus
+TPU-runtime knobs. PSNR/L1 test reports at --test_iterations; PLY saves at
+--save_iterations; full-state checkpoints at --checkpoint_iterations.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gs2d_tpu.config import (ModelParams, OptimizationParams, PipelineParams,
+                             RuntimeParams, save_cfg_args)
+
+
+def add_flags(parser):
+    m, o, p, r = (ModelParams(), OptimizationParams(), PipelineParams(),
+                  RuntimeParams())
+    parser.add_argument("--source_path", "-s", type=str, required=True)
+    parser.add_argument("--model_path", "-m", type=str, default="")
+    parser.add_argument("--images", "-i", type=str, default=m.images)
+    parser.add_argument("--resolution", "-r", type=int, default=m.resolution)
+    parser.add_argument("--white_background", "-w", action="store_true")
+    parser.add_argument("--sh_degree", type=int, default=m.sh_degree)
+    parser.add_argument("--eval", action="store_true")
+    for f, v in (("iterations", o.iterations),
+                 ("position_lr_init", o.position_lr_init),
+                 ("position_lr_final", o.position_lr_final),
+                 ("position_lr_delay_mult", o.position_lr_delay_mult),
+                 ("position_lr_max_steps", o.position_lr_max_steps),
+                 ("feature_lr", o.feature_lr), ("opacity_lr", o.opacity_lr),
+                 ("scaling_lr", o.scaling_lr),
+                 ("rotation_lr", o.rotation_lr),
+                 ("percent_dense", o.percent_dense),
+                 ("lambda_dssim", o.lambda_dssim),
+                 ("lambda_dist", o.lambda_dist),
+                 ("lambda_normal", o.lambda_normal),
+                 ("opacity_cull", o.opacity_cull),
+                 ("densification_interval", o.densification_interval),
+                 ("opacity_reset_interval", o.opacity_reset_interval),
+                 ("densify_from_iter", o.densify_from_iter),
+                 ("densify_until_iter", o.densify_until_iter),
+                 ("densify_grad_threshold", o.densify_grad_threshold)):
+        parser.add_argument(f"--{f}", type=type(v), default=v)
+    parser.add_argument("--depth_ratio", type=float, default=p.depth_ratio)
+    parser.add_argument("--initial_capacity", type=int,
+                        default=r.initial_capacity)
+    parser.add_argument("--pairs_capacity", type=int,
+                        default=r.pairs_capacity)
+    parser.add_argument("--seed", type=int, default=r.seed)
+    parser.add_argument("--interpret", action="store_true",
+                        help="Pallas interpreter mode (CPU debugging)")
+    parser.add_argument("--data_devices", type=int, default=1,
+                        help="pixel-shard the render over N devices")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="gs2d_tpu training")
+    add_flags(parser)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args()
+
+    import uuid
+    if not args.model_path:
+        args.model_path = os.path.join("./output", str(uuid.uuid4())[:10])
+    os.makedirs(args.model_path, exist_ok=True)
+
+    model = ModelParams(sh_degree=args.sh_degree,
+                        source_path=args.source_path,
+                        model_path=args.model_path, images=args.images,
+                        resolution=args.resolution,
+                        white_background=args.white_background,
+                        eval=args.eval)
+    opt = OptimizationParams(**{
+        f: getattr(args, f) for f in (
+            "iterations", "position_lr_init", "position_lr_final",
+            "position_lr_delay_mult", "position_lr_max_steps", "feature_lr",
+            "opacity_lr", "scaling_lr", "rotation_lr", "percent_dense",
+            "lambda_dssim", "lambda_dist", "lambda_normal", "opacity_cull",
+            "densification_interval", "opacity_reset_interval",
+            "densify_from_iter", "densify_until_iter",
+            "densify_grad_threshold")})
+    pipe = PipelineParams(depth_ratio=args.depth_ratio)
+    rt = RuntimeParams(initial_capacity=args.initial_capacity,
+                       pairs_capacity=args.pairs_capacity,
+                       seed=args.seed, interpret=args.interpret,
+                       devices=args.data_devices)
+    save_cfg_args(os.path.join(args.model_path, "cfg_args.json"),
+                  model, pipe, opt)
+    args.save_iterations.append(opt.iterations)
+
+    mesh = None
+    if args.data_devices > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()[:args.data_devices]), ("data",))
+
+    from tqdm import tqdm
+
+    from gs2d_tpu.ops.ssim import psnr as psnr_fn
+    from gs2d_tpu.train.loop import train
+
+    bar = tqdm(total=opt.iterations, desc="Training")
+    last = [0]
+
+    def log_fn(iteration, info):
+        if "event" in info:
+            bar.write(f"[{iteration}] {info['event']}")
+            return
+        bar.update(iteration - last[0])
+        last[0] = iteration
+        bar.set_postfix(loss=f"{info['loss']:.5f}",
+                        distort=f"{info['dist']:.5f}",
+                        normal=f"{info['normal']:.5f}",
+                        points=info["points"])
+
+    def report_fn(iteration, ts, scene):
+        import jax.numpy as jnp
+
+        from gs2d_tpu.ops.rasterize.api import RasterizeConfig
+        from gs2d_tpu.render.renderer import render
+        test_cams = scene.get_test_cameras() or scene.get_train_cameras()[:4]
+        bg = jnp.asarray([1.0] * 3 if model.white_background else [0.0] * 3)
+        vals = []
+        for c in test_cams[:8]:
+            cfg = RasterizeConfig(width=c.camera.width,
+                                  height=c.camera.height,
+                                  pairs_capacity=rt.pairs_capacity,
+                                  chunk=rt.chunk, interpret=rt.interpret)
+            pkg = render(c.camera, ts.gaussians, cfg, bg,
+                         max_sh_degree=model.sh_degree,
+                         depth_ratio=pipe.depth_ratio)
+            img = jnp.clip(pkg["render"], 0, 1)
+            vals.append(float(psnr_fn(img, jnp.asarray(c.image))))
+        bar.write(f"[ITER {iteration}] eval PSNR "
+                  f"{sum(vals) / len(vals):.2f} over {len(vals)} views")
+
+    train(model, opt, pipe, rt,
+          test_iterations=args.test_iterations,
+          save_iterations=args.save_iterations,
+          checkpoint_iterations=args.checkpoint_iterations,
+          start_checkpoint=args.start_checkpoint,
+          mesh=mesh, log_fn=log_fn, report_fn=report_fn)
+    bar.close()
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
