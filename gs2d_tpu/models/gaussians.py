@@ -99,8 +99,12 @@ def init_from_pcd(points: np.ndarray, colors: np.ndarray, capacity: int,
     rng = np.random.default_rng(seed)
 
     if init_scales is None:
-        from ..ops.knn import mean_sq_dist3
-        d2 = np.maximum(np.asarray(mean_sq_dist3(jnp.asarray(points))), 1e-7)
+        from ..native_lib import knn3_mean_sq_dist
+        d2 = knn3_mean_sq_dist(points)          # native grid KNN
+        if d2 is None:                          # fallback: exact jnp
+            from ..ops.knn import mean_sq_dist3
+            d2 = np.asarray(mean_sq_dist3(jnp.asarray(points)))
+        d2 = np.maximum(d2, 1e-7)
         init_scales = np.log(np.sqrt(d2))[:, None].repeat(2, axis=1)
 
     def pad(x, shape_tail, fill=0.0):

@@ -130,6 +130,10 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 
 def read_points3d_binary(path: str):
     """Returns (xyz (N,3) f64, rgb (N,3) u8, error (N,))."""
+    from ..native_lib import parse_points3d_bin
+    fast = parse_points3d_bin(path)
+    if fast is not None:
+        return fast
     with open(path, "rb") as f:
         r = _Reader(f.read())
     (num,) = r.read("Q")
