@@ -125,25 +125,27 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
                 gs_new, opt_new = reset_opacity(ts.gaussians, ts.opt)
                 ts = TrainState(gaussians=gs_new, opt=opt_new, key=ts.key)
 
-        if bool(metrics["overflow"]):
-            pairs_capacity *= 2
-            step_fn = build_step()
+        # Host syncs are expensive (each device→host pull round-trips the
+        # runtime); only materialize metrics on the logging cadence.
+        if iteration % 10 == 0:
+            if bool(metrics["overflow"]):
+                pairs_capacity *= 2
+                step_fn = build_step()
+                if log_fn:
+                    log_fn(iteration,
+                           {"event": f"pairs_capacity → {pairs_capacity}"})
+            ema["loss"] = 0.4 * float(metrics["loss"]) + 0.6 * ema["loss"]
+            ema["dist"] = (0.4 * float(metrics["dist_loss"])
+                           + 0.6 * ema["dist"])
+            ema["normal"] = (0.4 * float(metrics["normal_loss"])
+                             + 0.6 * ema["normal"])
             if log_fn:
-                log_fn(iteration,
-                       {"event": f"pairs_capacity → {pairs_capacity}"})
-
-        ema["loss"] = 0.4 * float(metrics["loss"]) + 0.6 * ema["loss"]
-        ema["dist"] = 0.4 * float(metrics["dist_loss"]) + 0.6 * ema["dist"]
-        ema["normal"] = (0.4 * float(metrics["normal_loss"])
-                         + 0.6 * ema["normal"])
-
-        if log_fn and iteration % 10 == 0:
-            log_fn(iteration, {
-                "loss": ema["loss"], "dist": ema["dist"],
-                "normal": ema["normal"],
-                "points": int(metrics["num_points"]),
-                "elapsed_s": time.time() - t_start,
-            })
+                log_fn(iteration, {
+                    "loss": ema["loss"], "dist": ema["dist"],
+                    "normal": ema["normal"],
+                    "points": int(metrics["num_points"]),
+                    "elapsed_s": time.time() - t_start,
+                })
         if report_fn and iteration in test_iterations:
             report_fn(iteration, ts, scene)
         if iteration in save_iterations and scene.model_path:

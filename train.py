@@ -112,6 +112,14 @@ def main():
     from gs2d_tpu.ops.ssim import psnr as psnr_fn
     from gs2d_tpu.train.loop import train
 
+    # TensorBoard (reference train.py:184-198)
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        tb_writer = SummaryWriter(args.model_path)
+    except ImportError:
+        print("Tensorboard not available: not logging progress")
+
     bar = tqdm(total=opt.iterations, desc="Training")
     last = [0]
 
@@ -125,16 +133,26 @@ def main():
                         distort=f"{info['dist']:.5f}",
                         normal=f"{info['normal']:.5f}",
                         points=info["points"])
+        if tb_writer is not None:
+            tb_writer.add_scalar("train_loss_patches/total_loss",
+                                 info["loss"], iteration)
+            tb_writer.add_scalar("train_loss_patches/dist_loss",
+                                 info["dist"], iteration)
+            tb_writer.add_scalar("train_loss_patches/normal_loss",
+                                 info["normal"], iteration)
+            tb_writer.add_scalar("total_points", info["points"], iteration)
+            tb_writer.add_scalar("iter_time", info["elapsed_s"], iteration)
 
     def report_fn(iteration, ts, scene):
         import jax.numpy as jnp
+        import numpy as np
 
         from gs2d_tpu.ops.rasterize.api import RasterizeConfig
         from gs2d_tpu.render.renderer import render
         test_cams = scene.get_test_cameras() or scene.get_train_cameras()[:4]
         bg = jnp.asarray([1.0] * 3 if model.white_background else [0.0] * 3)
         vals = []
-        for c in test_cams[:8]:
+        for i, c in enumerate(test_cams[:8]):
             cfg = RasterizeConfig(width=c.camera.width,
                                   height=c.camera.height,
                                   pairs_capacity=rt.pairs_capacity,
@@ -144,8 +162,23 @@ def main():
                          depth_ratio=pipe.depth_ratio)
             img = jnp.clip(pkg["render"], 0, 1)
             vals.append(float(psnr_fn(img, jnp.asarray(c.image))))
+            if tb_writer is not None and i < 5:
+                tb_writer.add_images(
+                    f"test_view_{c.image_name}/render",
+                    np.asarray(img)[None], global_step=iteration)
+                d = np.asarray(pkg["surf_depth"])
+                tb_writer.add_images(
+                    f"test_view_{c.image_name}/depth",
+                    (d / max(d.max(), 1e-6))[None], global_step=iteration)
+                tb_writer.add_images(
+                    f"test_view_{c.image_name}/rend_normal",
+                    (np.asarray(pkg["rend_normal"]) * 0.5 + 0.5)[None],
+                    global_step=iteration)
         bar.write(f"[ITER {iteration}] eval PSNR "
                   f"{sum(vals) / len(vals):.2f} over {len(vals)} views")
+        if tb_writer is not None:
+            tb_writer.add_scalar("test/psnr", sum(vals) / len(vals),
+                                 iteration)
 
     train(model, opt, pipe, rt,
           test_iterations=args.test_iterations,
