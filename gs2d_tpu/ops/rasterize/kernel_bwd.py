@@ -115,7 +115,8 @@ def _dw_terms(e, g, w, live, zs, m, A_pre, M1_pre, M2_pre, wm, wm2,
 
 
 def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
-                state, ebuf, wbuf, sem_r, sem_w, *, ntx: int, chunk: int):
+                state, ebuf, wbuf, sem_r, sem_w, *, ntx: int, chunk: int,
+                width: int, height: int):
     t = pl.program_id(0)
     start = ts_ref[t]
     count = tc_ref[t]
@@ -132,6 +133,8 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
 
     state[...] = jnp.zeros((NUM_STATE, TILE_PX), jnp.float32)
     state[4:5] = jnp.full((1, TILE_PX), -1.0)
+    border = ((px >= width) | (py >= height)).astype(jnp.float32)
+    state[1:2] = border
 
     def dma_in(slot, ci):
         off = pl.multiple_of(start + ci * chunk, 128)
@@ -187,6 +190,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
     last_sel_chunk = state[4:5]
     dT_F = -g[4:5]                     # alpha channel cotangent: A = 1 - T_F
     state[0:4] = jnp.zeros((4, TILE_PX), jnp.float32)
+    state[1:2] = border
 
     @pl.when(nchunks > 0)
     def _():
@@ -322,7 +326,8 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, ntx=ntx, chunk=chunk)
+    kernel = functools.partial(_bwd_kernel, ntx=ntx, chunk=chunk,
+                               width=width, height=height)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

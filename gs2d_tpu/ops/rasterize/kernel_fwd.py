@@ -49,7 +49,7 @@ def _pixel_coords(t, ntx):
 
 
 def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
-                *, ntx: int, chunk: int):
+                *, ntx: int, chunk: int, width: int, height: int):
     t = pl.program_id(0)
     start = ts_ref[t]
     count = tc_ref[t]
@@ -57,6 +57,9 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
     px, py = _pixel_coords(t, ntx)
 
     state[...] = jnp.zeros((NUM_STATE, TILE_PX), jnp.float32)
+    # out-of-image border pixels start "crossed" so edge tiles can take
+    # the all-pixels-done early exit (their output is cropped anyway)
+    state[1:2] = ((px >= width) | (py >= height)).astype(jnp.float32)
 
     def dma(slot, ci):
         # entries is SoA (ENTRY_F, P_alloc): lane-dim slices start at
@@ -186,7 +189,8 @@ def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_fwd_kernel, ntx=ntx, chunk=chunk)
+    kernel = functools.partial(_fwd_kernel, ntx=ntx, chunk=chunk,
+                               width=width, height=height)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

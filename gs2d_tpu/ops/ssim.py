@@ -68,6 +68,20 @@ def l1_loss(a, b):
     return jnp.mean(jnp.abs(a - b))
 
 
+def smooth_loss(disp, img):
+    """Edge-aware second-order smoothness (reference loss_utils.py:28-35;
+    present for capability parity, unused by the default training loss)."""
+    gdx = jnp.abs(disp[:, 1:-1, :-2] + disp[:, 1:-1, 2:]
+                  - 2 * disp[:, 1:-1, 1:-1])
+    gdy = jnp.abs(disp[:, :-2, 1:-1] + disp[:, 2:, 1:-1]
+                  - 2 * disp[:, 1:-1, 1:-1])
+    gix = jnp.mean(jnp.abs(img[:, 1:-1, :-2] - img[:, 1:-1, 2:]),
+                   0, keepdims=True) * 0.5
+    giy = jnp.mean(jnp.abs(img[:, :-2, 1:-1] - img[:, 2:, 1:-1]),
+                   0, keepdims=True) * 0.5
+    return jnp.mean(gdx * jnp.exp(-gix)) + jnp.mean(gdy * jnp.exp(-giy))
+
+
 def l2_loss(a, b):
     return jnp.mean((a - b) ** 2)
 

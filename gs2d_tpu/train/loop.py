@@ -39,7 +39,8 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
           start_checkpoint: Optional[str] = None,
           mesh=None,
           log_fn: Optional[Callable] = None,
-          report_fn: Optional[Callable] = None):
+          report_fn: Optional[Callable] = None,
+          profile_dir: Optional[str] = None):
     scene = Scene(model, capacity=rt.initial_capacity, seed=rt.seed)
     gaussians = scene.gaussians
     opt_state = init_adam(gaussians.params)
@@ -81,6 +82,11 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        if profile_dir and iteration == 50:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and iteration == 60:
+            jax.block_until_ready(ts.gaussians.params.xyz)
+            jax.profiler.stop_trace()
         if not stack:
             stack = list(range(len(cams)))
         cam_data = cams[stack.pop(rng.randrange(len(stack)))]

@@ -69,6 +69,9 @@ def main():
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="dump a jax.profiler trace to this dir "
+                             "covering iterations 50-60")
     args = parser.parse_args()
 
     import uuid
@@ -143,23 +146,31 @@ def main():
             tb_writer.add_scalar("total_points", info["points"], iteration)
             tb_writer.add_scalar("iter_time", info["elapsed_s"], iteration)
 
+    import functools
+
+    import jax
+
+    @functools.lru_cache(maxsize=8)
+    def _eval_render(width, height):
+        from gs2d_tpu.ops.rasterize.api import RasterizeConfig
+        from gs2d_tpu.render.renderer import render
+        cfg = RasterizeConfig(width=width, height=height,
+                              pairs_capacity=rt.pairs_capacity,
+                              chunk=rt.chunk, interpret=rt.interpret)
+        return jax.jit(lambda cam, state, bg: render(
+            cam, state, cfg, bg, max_sh_degree=model.sh_degree,
+            depth_ratio=pipe.depth_ratio))
+
     def report_fn(iteration, ts, scene):
         import jax.numpy as jnp
         import numpy as np
 
-        from gs2d_tpu.ops.rasterize.api import RasterizeConfig
-        from gs2d_tpu.render.renderer import render
         test_cams = scene.get_test_cameras() or scene.get_train_cameras()[:4]
         bg = jnp.asarray([1.0] * 3 if model.white_background else [0.0] * 3)
         vals = []
         for i, c in enumerate(test_cams[:8]):
-            cfg = RasterizeConfig(width=c.camera.width,
-                                  height=c.camera.height,
-                                  pairs_capacity=rt.pairs_capacity,
-                                  chunk=rt.chunk, interpret=rt.interpret)
-            pkg = render(c.camera, ts.gaussians, cfg, bg,
-                         max_sh_degree=model.sh_degree,
-                         depth_ratio=pipe.depth_ratio)
+            pkg = _eval_render(c.camera.width, c.camera.height)(
+                c.camera, ts.gaussians, bg)
             img = jnp.clip(pkg["render"], 0, 1)
             vals.append(float(psnr_fn(img, jnp.asarray(c.image))))
             if tb_writer is not None and i < 5:
@@ -185,7 +196,8 @@ def main():
           save_iterations=args.save_iterations,
           checkpoint_iterations=args.checkpoint_iterations,
           start_checkpoint=args.start_checkpoint,
-          mesh=mesh, log_fn=log_fn, report_fn=report_fn)
+          mesh=mesh, log_fn=log_fn, report_fn=report_fn,
+          profile_dir=args.profile)
     bar.close()
     print("\nTraining complete.")
 
