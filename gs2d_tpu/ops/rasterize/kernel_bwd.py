@@ -12,14 +12,19 @@ transmittance division chains and no atomics:
   inclusive prefixes — the totals are the forward kernel's output channels,
   including the M1/M2 aux channels).
 
-  Pass 1 recomputes the forward scan and accumulates the grand total
-  Σ_j w_j·dw_j (plus the chunk index of the median contributor).
-  Pass 2 recomputes again, forms the suffix terms, chains gradients back
-  through the compositing → alpha → Gaussian-weight → homography-
-  coefficient algebra, reduces over the tile's pixels, and DMAs the
-  per-entry gradient chunk to HBM. Entry slots are tile-disjoint by
-  construction (CHUNK-aligned binning), so writes never race; the final
-  per-Gaussian reduction is the VJP of the jnp gather (a segment-sum).
+  The grand total Σ_j w_j·dw_j needs no extra pass: every term of dw_j is
+  value·cotangent for some output channel, so Σ_j w_j·dw_j collapses to
+  Σ_ch g_ch·out_ch over the accumulation channels — with the distortion
+  channel counted TWICE, because Σ_e w_e·ψ_e (the suffix-coupled term)
+  equals the pairwise double sum Σ_{e<j} w_e w_j (m_j−m_e)², which is
+  exactly the distortion output itself. A single front-to-back pass then
+  recomputes the forward scan, forms suffix terms as totals minus
+  inclusive prefixes, chains gradients back through the compositing →
+  alpha → homography-coefficient algebra, reduces over the tile's pixels,
+  and DMAs the per-entry gradient chunk to HBM. Entry slots are
+  tile-disjoint by construction (CHUNK-aligned binning), so writes never
+  race; the final per-Gaussian reduction is the VJP of the jnp gather
+  (a segment-sum).
 
   The depth-distortion loss gradient includes all prefix/suffix coupling
   terms of Σ_e w_e(m_e²·A_e + M2_e − 2·m_e·M1_e); see inline derivation.
@@ -132,7 +137,6 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
     gMed = g[8:9]
 
     state[...] = jnp.zeros((NUM_STATE, TILE_PX), jnp.float32)
-    state[4:5] = jnp.full((1, TILE_PX), -1.0)
     border = ((px >= width) | (py >= height)).astype(jnp.float32)
     state[1:2] = border
 
@@ -149,48 +153,14 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
             d_entries.at[:, pl.ds(off, chunk)],
             sem_w.at[slot])
 
-    # ---------------- pass 1: totals ----------------
-    @pl.when(nchunks > 0)
-    def _():
-        dma_in(0, 0).start()
-
-    def body1(ci, _):
-        slot = jax.lax.rem(ci, 2)
-
-        @pl.when(ci + 1 < nchunks)
-        def _():
-            dma_in(jax.lax.rem(ci + 1, 2), ci + 1).start()
-
-        dma_in(slot, ci).wait()
-        e = jnp.transpose(ebuf[slot])
-        (geom, a_eff, l2, cross, T_before, w, live, zs, m, wm, wm2,
-         A_pre, M1_pre, M2_pre) = _recompute_chunk(
-            e, px, py, ci, chunk, count, state, tri_i, tri_s)
-
-        dw, _ = _dw_terms(e, g, w, live, zs, m, A_pre, M1_pre, M2_pre,
-                          wm, wm2, T_before, a_eff, M1_tot, M2_tot, T_F)
-        state[5:6] += jnp.sum(w * dw, axis=0, keepdims=True)
-
-        sel = live & (T_before > 0.5)
-        anysel = jnp.max(sel.astype(jnp.float32), axis=0, keepdims=True)
-        state[4:5] = jnp.where(anysel > 0.0, jnp.float32(ci), state[4:5])
-
-        state[2:3] += jnp.sum(wm, axis=0, keepdims=True)
-        state[3:4] += jnp.sum(wm2, axis=0, keepdims=True)
-        state[0:1] += jnp.sum(l2, axis=0, keepdims=True)
-        state[1:2] = jnp.maximum(
-            state[1:2], jnp.max(cross.astype(jnp.float32), axis=0,
-                                keepdims=True))
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, body1, 0)
-
-    # ---------------- pass 2: gradients ----------------
-    G_wdw = state[5:6]
-    last_sel_chunk = state[4:5]
+    # Grand total Σ_j w_j·dw_j in closed form from outputs × cotangents;
+    # the distortion channel enters twice (direct φ + suffix ψ terms).
+    G_wdw = jnp.sum(g[0:4] * out[0:4], axis=0, keepdims=True) \
+        + jnp.sum(g[5:8] * out[5:8], axis=0, keepdims=True) \
+        + 2.0 * g[9:10] * out[9:10] \
+        + jnp.sum(g[10:15] * out[10:15], axis=0, keepdims=True)
+    med_out = out[8:9]
     dT_F = -g[4:5]                     # alpha channel cotangent: A = 1 - T_F
-    state[0:4] = jnp.zeros((4, TILE_PX), jnp.float32)
-    state[1:2] = border
 
     @pl.when(nchunks > 0)
     def _():
@@ -221,12 +191,10 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
         dalpha = T_before * dw - (S_wdw + T_F * dT_F) / one_m_a
         dalpha = jnp.where(live, dalpha, 0.0)
 
-        # median contributor: last selected entry in the last chunk with one
+        # median contributor: the recomputed depth reproduces the forward's
+        # bit pattern, so equality against the median output identifies it
         sel = live & (T_before > 0.5)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_PX), 0)
-        last = jnp.max(jnp.where(sel, ii, -1), axis=0, keepdims=True)
-        is_med = (sel & (ii == last)
-                  & (last_sel_chunk == ci.astype(jnp.float32)))
+        is_med = sel & (zs == med_out)
 
         # dz: expected-depth + median + mapped-depth chain
         dz = w * g[3:4] + jnp.where(is_med, gMed, 0.0) \
