@@ -40,7 +40,8 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
           mesh=None,
           log_fn: Optional[Callable] = None,
           report_fn: Optional[Callable] = None,
-          profile_dir: Optional[str] = None):
+          profile_dir: Optional[str] = None,
+          viewer_fn: Optional[Callable] = None):
     scene = Scene(model, capacity=rt.initial_capacity, seed=rt.seed)
     gaussians = scene.gaussians
     opt_state = init_adam(gaussians.params)
@@ -56,16 +57,16 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
 
     cams = scene.get_train_cameras()
     assert cams, "no training cameras"
-    W, H = cams[0].camera.width, cams[0].camera.height
-    for c in cams:
-        assert (c.camera.width, c.camera.height) == (W, H), \
-            "mixed resolutions need bucketing (todo)"
 
     pairs_capacity = rt.pairs_capacity
     key = jax.random.PRNGKey(rt.seed)
 
-    def build_step():
-        rcfg = RasterizeConfig(width=W, height=H,
+    # jitted step per (W, H) resolution bucket (COLMAP scenes may mix
+    # slightly different image sizes); rebuilt on capacity escalation
+    step_fns = {}
+
+    def build_step(w, h):
+        rcfg = RasterizeConfig(width=w, height=h,
                                pairs_capacity=pairs_capacity,
                                chunk=rt.chunk, interpret=rt.interpret)
         return make_train_step(
@@ -73,7 +74,11 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
             spatial_lr_scale=spatial_lr_scale,
             depth_ratio=pipe.depth_ratio, mesh=mesh)
 
-    step_fn = build_step()
+    def step_for(cam):
+        wh = (cam.width, cam.height)
+        if wh not in step_fns:
+            step_fns[wh] = build_step(*wh)
+        return step_fns[wh]
     ts = TrainState(gaussians=gaussians, opt=opt_state, key=key)
 
     ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0}
@@ -92,8 +97,8 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
         cam_data = cams[stack.pop(rng.randrange(len(stack)))]
         gt = jnp.asarray(cam_data.image)
 
-        ts, metrics = step_fn(ts, cam_data.camera, gt,
-                              jnp.int32(iteration), bg)
+        ts, metrics = step_for(cam_data.camera)(
+            ts, cam_data.camera, gt, jnp.int32(iteration), bg)
 
         # densification schedule (train.py:126-135)
         if iteration < opt.densify_until_iter:
@@ -120,7 +125,7 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
                     ts = TrainState(
                         gaussians=grow_capacity(ts.gaussians, new_cap),
                         opt=_grow_opt(ts.opt, new_cap), key=ts.key)
-                    step_fn = build_step()
+                    step_fns.clear()
                     if log_fn:
                         log_fn(iteration,
                                {"event": f"capacity → {new_cap}"})
@@ -136,7 +141,7 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
         if iteration % 10 == 0:
             if bool(metrics["overflow"]):
                 pairs_capacity *= 2
-                step_fn = build_step()
+                step_fns.clear()
                 if log_fn:
                     log_fn(iteration,
                            {"event": f"pairs_capacity → {pairs_capacity}"})
@@ -160,6 +165,8 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
             save_checkpoint(
                 os.path.join(scene.model_path, f"chkpnt{iteration}.npz"),
                 ts.gaussians, ts.opt, iteration, spatial_lr_scale)
+        if viewer_fn is not None:
+            viewer_fn(iteration, ts, ema)
 
     return ts, scene
 

@@ -72,6 +72,9 @@ def main():
     parser.add_argument("--profile", type=str, default=None,
                         help="dump a jax.profiler trace to this dir "
                              "covering iterations 50-60")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--no_viewer", action="store_true")
     args = parser.parse_args()
 
     import uuid
@@ -191,13 +194,67 @@ def main():
             tb_writer.add_scalar("test/psnr", sum(vals) / len(vals),
                                  iteration)
 
+    # live-viewer polling during training (reference train.py:146-168)
+    viewer_fn = None
+    if not args.no_viewer:
+        import numpy as np
+
+        from gs2d_tpu.render.network_gui import (NetworkGUI,
+                                                 render_net_image)
+        gui = NetworkGUI()
+        try:
+            gui.init(args.ip, args.port)
+        except OSError:
+            gui = None
+
+        def viewer_fn(iteration, ts, ema):
+            if gui is None:
+                return
+            import jax.numpy as jnp
+
+            from gs2d_tpu.render.renderer import render as render_fn
+            if gui.conn is None:
+                gui.try_connect(model.render_items)
+            while gui.conn is not None:
+                try:
+                    cam, do_training, keep_alive, scaling, mode = \
+                        gui.receive()
+                    img_bytes = None
+                    if cam is not None:
+                        from gs2d_tpu.ops.rasterize.api import \
+                            RasterizeConfig
+                        cfg = RasterizeConfig(
+                            width=cam.width, height=cam.height,
+                            pairs_capacity=rt.pairs_capacity,
+                            chunk=rt.chunk, interpret=rt.interpret)
+                        bgv = jnp.asarray(
+                            [1.0] * 3 if model.white_background
+                            else [0.0] * 3)
+                        pkg = render_fn(cam, ts.gaussians, cfg, bgv,
+                                        max_sh_degree=model.sh_degree,
+                                        scaling_modifier=scaling,
+                                        depth_ratio=pipe.depth_ratio)
+                        net = render_net_image(pkg, model.render_items,
+                                               mode, cam)
+                        img = (np.clip(net, 0, 1) * 255).astype(np.uint8)
+                        img_bytes = memoryview(
+                            np.ascontiguousarray(img.transpose(1, 2, 0)))
+                    gui.send(img_bytes, model.source_path,
+                             {"#": int(ts.gaussians.num_active()),
+                              "loss": ema["loss"]})
+                    if do_training and (iteration < opt.iterations
+                                        or not keep_alive):
+                        break
+                except Exception:
+                    gui.disconnect()
+
     train(model, opt, pipe, rt,
           test_iterations=args.test_iterations,
           save_iterations=args.save_iterations,
           checkpoint_iterations=args.checkpoint_iterations,
           start_checkpoint=args.start_checkpoint,
           mesh=mesh, log_fn=log_fn, report_fn=report_fn,
-          profile_dir=args.profile)
+          profile_dir=args.profile, viewer_fn=viewer_fn)
     bar.close()
     print("\nTraining complete.")
 
