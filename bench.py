@@ -49,16 +49,18 @@ def main():
         out, _ = rasterize(pre, cfg)
         return jnp.sum(out * cot)
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
-    args = (means, scales, quats, opac, rgb)
-    g = step(*args)
-    jax.block_until_ready(g)
-    n_iters = 10
-    t0 = time.time()
-    for _ in range(n_iters):
-        g = step(*args)
-    jax.block_until_ready(g)
-    dt = (time.time() - t0) / n_iters
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+    # Chain iterations through a tiny param update so each step depends on
+    # the previous one — on async backends (axon tunnel) block_until_ready
+    # does not actually block, so timing must flow through data dependence
+    # (gs2d_tpu.utils.timing).
+    def step(args):
+        g = grad(*args)
+        return tuple(a - 1e-12 * gi for a, gi in zip(args, g))
+
+    from gs2d_tpu.utils.timing import timed_loop
+    dt, _ = timed_loop(step, (means, scales, quats, opac, rgb), n=10)
     rays_per_s = W * H / dt
 
     base = os.environ.get("BENCH_BASELINE")

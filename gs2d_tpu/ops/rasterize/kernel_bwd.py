@@ -1,33 +1,37 @@
 """Pallas TPU backward rasterization kernel (hand-written VJP core).
 
 Replaces the CUDA back-to-front gradient kernel (SURVEY.md §2.1 step 4)
-with a TPU-native two-pass front-to-back formulation that needs no
+with a TPU-native single-pass front-to-back formulation that needs no
 transmittance division chains and no atomics:
 
   For L = f({w_e}, T_F) with w_e = α_e·T_e, the α-gradient is
       dα_e = T_e·dw_e − [Σ_{j>e} w_j·dw_j + T_F·dT_F] / (1−α_e),
   where dw_e (the partial w.r.t. w_e with other w fixed) is closed-form in
-  per-entry values, *prefix* accumulators (from the recomputed forward
-  scan) and *suffix* accumulators (expressed as forward totals minus
-  inclusive prefixes — the totals are the forward kernel's output channels,
-  including the M1/M2 aux channels).
+  per-entry values and per-pixel TOTALS:
 
-  The grand total Σ_j w_j·dw_j needs no extra pass: every term of dw_j is
-  value·cotangent for some output channel, so Σ_j w_j·dw_j collapses to
-  Σ_ch g_ch·out_ch over the accumulation channels — with the distortion
-  channel counted TWICE, because Σ_e w_e·ψ_e (the suffix-coupled term)
-  equals the pairwise double sum Σ_{e<j} w_e w_j (m_j−m_e)², which is
-  exactly the distortion output itself. A single front-to-back pass then
-  recomputes the forward scan, forms suffix terms as totals minus
-  inclusive prefixes, chains gradients back through the compositing →
-  alpha → homography-coefficient algebra, reduces over the tile's pixels,
-  and DMAs the per-entry gradient chunk to HBM. Entry slots are
-  tile-disjoint by construction (CHUNK-aligned binning), so writes never
-  race; the final per-Gaussian reduction is the VJP of the jnp gather
-  (a segment-sum).
+  * The depth-distortion channel uses the exact identity
+    Σ_{i<j} w_i w_j (m_i−m_j)² ≡ S0·S2 − S1² (S0 = Σw, S1 = Σw·m,
+    S2 = Σw·m²), so its w- and m-gradients are
+        ∂/∂w_e = m_e²·S0 + S2 − 2·m_e·S1,
+        ∂/∂m_e = 2·w_e·(m_e·S0 − S1)
+    (the i=j self terms cancel), with S0/S1/S2 read straight from the
+    forward's alpha / M1 / M2 output channels — no per-splat prefix or
+    suffix accumulators at all.
 
-  The depth-distortion loss gradient includes all prefix/suffix coupling
-  terms of Σ_e w_e(m_e²·A_e + M2_e − 2·m_e·M1_e); see inline derivation.
+  * The grand total Σ_j w_j·dw_j needs no extra pass: every term of dw_j
+    is value·cotangent for some output channel, so it collapses to
+    Σ_ch g_ch·out_ch over the accumulation channels — with the distortion
+    channel counted TWICE (Σ_e w_e·(m²S0+S2−2mS1)_e = 2·(S0S2−S1²)).
+
+  A single front-to-back pass recomputes the forward transmittance scan
+  (one log-space shift-scan per chunk), forms the suffix Σ_{j>e} w_j·dw_j
+  as grand total minus inclusive prefix (a second shift-scan), chains
+  gradients back through the compositing → alpha → homography-coefficient
+  algebra, reduces over the tile's pixels, and DMAs the per-entry gradient
+  chunk to HBM. Entry slots are tile-disjoint by construction
+  (CHUNK-aligned binning), so writes never race; the final per-Gaussian
+  reduction is the VJP of the jnp gather (a segment-sum).
+
   The low-pass (rho2d) branch carries no gradient, matching the
   reference's removal of the low-pass filter gradient (README.md:114).
 """
@@ -42,80 +46,55 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import (ALPHA_CUTOFF, ENTRY_F, NEAR_N, NUM_OUT, T_EPS, TILE_PX,
-                     TILE_W, cdiv)
+from .common import (ENTRY_F, NEAR_N, NUM_OUT, T_EPS, TILE_PX, TILE_W, cdiv)
 from .kernel_common import (M_SCALE, chunk_geometry, entry_validity,
-                            mapped_depth, matv, tri_mats)
+                            mapped_depth, prefix_scan_incl)
 from .kernel_fwd import _pixel_coords
 
 LOG_T_EPS = math.log(T_EPS)
-NUM_STATE = 8
-# state rows: 0 logT, 1 crossed, 2 M1_run, 3 M2_run, 4 last_sel_chunk,
-#             5 G_wdw (grand total of w·dw), 6 P_wdw (running inclusive
-#             prefix of w·dw, pass 2), 7 unused/pad
+NUM_STATE = 4
+# state rows: 0 logT, 1 crossed, 2 P_wdw (running inclusive prefix of
+#             w·dw), 3 pad (sublane alignment)
 
 
-def _recompute_chunk(e, px, py, ci, chunk, count, state, tri_i, tri_s):
-    """Shared forward recomputation for both backward passes.
-
-    Returns per-chunk tensors needed by the gradient algebra. Reads state
-    rows 0..3 but does not write them (callers update).
-    """
+def _recompute_chunk(e, px, py, ci, chunk, count, state):
+    """Shared forward recomputation: transmittance scan only."""
     geom = chunk_geometry(e, px, py)
     crossed_in = state[1:2]
     ok = entry_validity(geom, ci, chunk, count, crossed_in)
     a0 = jnp.where(ok, geom.alpha, 0.0)
     l = jnp.log1p(-a0)
-    s_incl = matv(tri_i, l)
+    s_incl = prefix_scan_incl(l)
     logT_in = state[0:1]
     keep = (s_incl + logT_in) >= LOG_T_EPS
     cross = (a0 > 0.0) & jnp.logical_not(keep)
     a_eff = jnp.where(keep, a0, 0.0)
     l2 = jnp.where(keep, l, 0.0)
-    s_excl = matv(tri_s, l2)
-    T_before = jnp.exp(logT_in + s_excl)
+    T_before = jnp.exp(logT_in + s_incl - l)
     w = a_eff * T_before
     live = a_eff > 0.0
     zs, m = mapped_depth(geom.z, live)
-    wm = w * m
-    wm2 = wm * m
-    A_pre = 1.0 - T_before
-    M1_pre = state[2:3] + matv(tri_s, wm)
-    M2_pre = state[3:4] + matv(tri_s, wm2)
-    return (geom, a_eff, l2, cross, T_before, w, live, zs, m, wm, wm2,
-            A_pre, M1_pre, M2_pre)
+    return geom, a_eff, l2, cross, T_before, w, live, zs, m
 
 
-def _dw_terms(e, g, w, live, zs, m, A_pre, M1_pre, M2_pre, wm, wm2,
-              T_before, a_eff, M1_tot, M2_tot, T_F):
-    """dw_e = ∂L/∂w_e (other w fixed) and the distortion m-gradient parts."""
+def _dw_terms(e, g, w, live, zs, m, S0, M1_tot, M2_tot):
+    """dw_e = ∂L/∂w_e (other w fixed) and the m-gradient, totals-based."""
     gC0, gC1, gC2 = g[0:1], g[1:2], g[2:3]
     gD, gN0, gN1, gN2 = g[3:4], g[5:6], g[6:7], g[7:8]
     gDist = g[9:10]
     gH0, gH1, gH2 = g[10:11], g[11:12], g[12:13]
     gM1, gM2 = g[13:14], g[14:15]
 
-    T_inc = T_before * (1.0 - a_eff)
-    Sw = T_inc - T_F                       # Σ_{j>e} w_j
-    M1_incl = M1_pre + wm
-    M2_incl = M2_pre + wm2
-    Swm = M1_tot - M1_incl
-    Swm2 = M2_tot - M2_incl
-
-    phi = m * m * A_pre + M2_pre - 2.0 * m * M1_pre
-    psi = Swm2 - 2.0 * m * Swm + m * m * Sw
-
     dw = (e[:, 15:16] * gC0 + e[:, 16:17] * gC1 + e[:, 17:18] * gC2
           + zs * gD
           + e[:, 18:19] * gN0 + e[:, 19:20] * gN1 + e[:, 20:21] * gN2
           + e[:, 21:22] * gH0 + e[:, 22:23] * gH1 + e[:, 23:24] * gH2
           + m * gM1 + m * m * gM2
-          + gDist * (phi + psi))
+          + gDist * (m * m * S0 + M2_tot - 2.0 * m * M1_tot))
     dw = jnp.where(live, dw, 0.0)
 
     dm = (w * gM1 + 2.0 * m * w * gM2
-          + gDist * (w * (2.0 * m * A_pre - 2.0 * M1_pre)
-                     + 2.0 * w * (m * Sw - Swm)))
+          + gDist * 2.0 * w * (m * S0 - M1_tot))
     return dw, dm
 
 
@@ -127,11 +106,11 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
     count = tc_ref[t]
     nchunks = jax.lax.div(count + chunk - 1, chunk)
     px, py = _pixel_coords(t, ntx)
-    tri_i, tri_s = tri_mats(chunk)
 
     g = g_tiles[0]          # (NUM_OUT, TILE_PX)
     out = out_tiles[0]
-    T_F = 1.0 - out[4:5]
+    S0 = out[4:5]
+    T_F = 1.0 - S0
     M1_tot = out[13:14]
     M2_tot = out[14:15]
     gMed = g[8:9]
@@ -154,7 +133,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
             sem_w.at[slot])
 
     # Grand total Σ_j w_j·dw_j in closed form from outputs × cotangents;
-    # the distortion channel enters twice (direct φ + suffix ψ terms).
+    # the distortion channel enters twice (see module docstring).
     G_wdw = jnp.sum(g[0:4] * out[0:4], axis=0, keepdims=True) \
         + jnp.sum(g[5:8] * out[5:8], axis=0, keepdims=True) \
         + 2.0 * g[9:10] * out[9:10] \
@@ -175,16 +154,14 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
 
         dma_in(slot, ci).wait()
         e = jnp.transpose(ebuf[slot])
-        (geom, a_eff, l2, cross, T_before, w, live, zs, m, wm, wm2,
-         A_pre, M1_pre, M2_pre) = _recompute_chunk(
-            e, px, py, ci, chunk, count, state, tri_i, tri_s)
+        (geom, a_eff, l2, cross, T_before, w, live, zs, m) = \
+            _recompute_chunk(e, px, py, ci, chunk, count, state)
 
-        dw, dm = _dw_terms(e, g, w, live, zs, m, A_pre, M1_pre, M2_pre,
-                           wm, wm2, T_before, a_eff, M1_tot, M2_tot, T_F)
+        dw, dm = _dw_terms(e, g, w, live, zs, m, S0, M1_tot, M2_tot)
 
         # suffix Σ_{j>e} w_j·dw_j = grand total − inclusive prefix
         wdw = w * dw
-        P_incl = state[6:7] + matv(tri_i, wdw)
+        P_incl = state[2:3] + prefix_scan_incl(wdw)
         S_wdw = G_wdw - P_incl
 
         one_m_a = 1.0 - a_eff
@@ -241,9 +218,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
         dma_out(slot, ci).start()
 
         # state updates
-        state[6:7] += jnp.sum(wdw, axis=0, keepdims=True)
-        state[2:3] += jnp.sum(wm, axis=0, keepdims=True)
-        state[3:4] += jnp.sum(wm2, axis=0, keepdims=True)
+        state[2:3] += jnp.sum(wdw, axis=0, keepdims=True)
         state[0:1] += jnp.sum(l2, axis=0, keepdims=True)
         state[1:2] = jnp.maximum(
             state[1:2], jnp.max(cross.astype(jnp.float32), axis=0,

@@ -66,18 +66,27 @@ def mapped_depth(z, live):
     return zs, M_SCALE * (1.0 - NEAR_N / zs)
 
 
-def tri_mats(chunk: int):
-    r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    tri_i = (r >= c).astype(jnp.float32)
-    tri_s = (r > c).astype(jnp.float32)
-    return tri_i, tri_s
+def prefix_scan_incl(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 0 (the splat/chunk axis) of a
+    (chunk, TILE_PX) block, as log2(chunk) sublane shift+adds on the VPU.
+
+    This replaces triangular matmuls on the MXU: an f32 matmul needs the
+    6-pass HIGHEST-precision decomposition for acceptable accuracy
+    (~800 MFLOP per 128-chunk — it dominated the whole kernel), while the
+    shift-scan is ~1 MFLOP per chunk AND exact f32.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    d = 1
+    while d < n:
+        sh = pltpu.roll(x, shift=d, axis=0)      # sh[i] = x[(i-d) mod n]
+        x = x + jnp.where(row >= d, sh, 0.0)
+        d *= 2
+    return x
 
 
-def matv(tri, x):
-    # Precision.HIGHEST: the prefix-scan matmuls accumulate log-
-    # transmittance and distortion moments — single-pass bf16 MXU rounding
-    # (the TPU default) injects ~1e-3 error into every composite, so force
-    # the full-precision f32 decomposition.
-    return jnp.dot(tri, x, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+def prefix_scan_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix sum along axis 0: inclusive − self."""
+    return prefix_scan_incl(x) - x

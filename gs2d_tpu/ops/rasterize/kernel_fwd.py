@@ -8,11 +8,17 @@ TPU-native compositing: instead of a per-splat sequential loop (the CUDA
 shape), each CHUNK of splats is composited in closed form —
   * per-(splat, pixel) geometry is 2 FMAs per homogeneous component
     (pixel-linear intersection coefficients from preprocess.py),
-  * the front-to-back transmittance scan becomes log-space prefix sums
-    computed as triangular matmuls on the MXU,
+  * ONE log-space transmittance prefix scan per chunk, done as
+    log2(chunk) sublane shift+adds on the VPU (exact f32),
   * the early-termination contract (stop before transmittance < 1e-4,
     reference SURVEY.md §2.1 step 3) is reproduced exactly with a
-    keep-mask on the inclusive scan + a per-pixel frozen flag.
+    keep-mask on the inclusive scan + a per-pixel frozen flag; the mask
+    is monotone within a chunk (log-alphas are ≤ 0), so the exclusive
+    kept-sum equals s_incl − l for every kept splat,
+  * the depth-distortion accumulator needs NO per-splat prefix state:
+    Σ_{i<j} w_i w_j (m_i − m_j)² ≡ S0·S2 − S1² with S0 = Σw (alpha),
+    S1 = Σw·m, S2 = Σw·m² — plain totals, emitted as output channels
+    anyway for the backward kernel.
 
 Output channels per common.py: rgb(3, no background — added by the caller),
 expected-depth sum, alpha, view normal(3), median depth, distortion,
@@ -31,12 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import (ENTRY_F, NUM_OUT, T_EPS, TILE_H, TILE_PX, TILE_W, cdiv)
 from .kernel_common import (chunk_geometry, entry_validity, mapped_depth,
-                            matv, tri_mats)
+                            prefix_scan_incl)
 
 LOG_T_EPS = math.log(T_EPS)
-NUM_STATE = 16
+NUM_STATE = 15
 # state rows: 0 logT, 1 crossed, 2:5 color, 5 D, 6:9 normal, 9 median,
-#             10 dist, 11:14 noise, 14 M1, 15 M2
+#             10:13 noise, 13 M1, 14 M2
 
 
 def _pixel_coords(t, ntx):
@@ -76,8 +82,6 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
     def _():
         dma(0, 0).start()
 
-    tri_i, tri_s = tri_mats(chunk)
-
     def body(carry):
         ci, _ = carry
         slot = jax.lax.rem(ci, 2)
@@ -95,25 +99,18 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
         a0 = jnp.where(ok, geom.alpha, 0.0)
 
         l = jnp.log1p(-a0)
-        s_incl = matv(tri_i, l)
+        s_incl = prefix_scan_incl(l)
         logT_in = state[0:1]
         keep = (s_incl + logT_in) >= LOG_T_EPS
         cross = (a0 > 0.0) & jnp.logical_not(keep)
         a_eff = jnp.where(keep, a0, 0.0)
         l2 = jnp.where(keep, l, 0.0)
-        s_excl = matv(tri_s, l2)
-        T_before = jnp.exp(logT_in + s_excl)
+        # exclusive kept-sum == s_incl − l for kept splats (mask monotone)
+        T_before = jnp.exp(logT_in + s_incl - l)
         w = a_eff * T_before
         live = a_eff > 0.0
         zs, m = mapped_depth(geom.z, live)
         wm = w * m
-        wm2 = wm * m
-
-        A_pre = 1.0 - T_before
-        M1_pre = state[14:15] + matv(tri_s, wm)
-        M2_pre = state[15:16] + matv(tri_s, wm2)
-        dist_c = (m * m * A_pre + M2_pre - 2.0 * m * M1_pre) * w
-        state[10:11] += jnp.sum(dist_c, axis=0, keepdims=True)
 
         sel = live & (T_before > 0.5)
         ii = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_PX), 0)
@@ -127,11 +124,11 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
                 e[:, 15 + ch:16 + ch] * w, axis=0, keepdims=True)
             state[6 + ch:7 + ch] += jnp.sum(
                 e[:, 18 + ch:19 + ch] * w, axis=0, keepdims=True)
-            state[11 + ch:12 + ch] += jnp.sum(
+            state[10 + ch:11 + ch] += jnp.sum(
                 e[:, 21 + ch:22 + ch] * w, axis=0, keepdims=True)
         state[5:6] += jnp.sum(zs * w, axis=0, keepdims=True)
-        state[14:15] += jnp.sum(wm, axis=0, keepdims=True)
-        state[15:16] += jnp.sum(wm2, axis=0, keepdims=True)
+        state[13:14] += jnp.sum(wm, axis=0, keepdims=True)
+        state[14:15] += jnp.sum(wm * m, axis=0, keepdims=True)
         state[0:1] = logT_in + jnp.sum(l2, axis=0, keepdims=True)
         state[1:2] = jnp.maximum(
             crossed_in, jnp.max(cross.astype(jnp.float32), axis=0,
@@ -153,15 +150,18 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
         dma(jax.lax.rem(final_ci, 2), final_ci).wait()
 
     T_final = jnp.exp(state[0:1])
+    S0 = 1.0 - T_final
+    M1 = state[13:14]
+    M2 = state[14:15]
     out_ref[0, 0:3] = state[2:5]
     out_ref[0, 3:4] = state[5:6]
-    out_ref[0, 4:5] = 1.0 - T_final
+    out_ref[0, 4:5] = S0
     out_ref[0, 5:8] = state[6:9]
     out_ref[0, 8:9] = state[9:10]
-    out_ref[0, 9:10] = state[10:11]
-    out_ref[0, 10:13] = state[11:14]
-    out_ref[0, 13:14] = state[14:15]
-    out_ref[0, 14:15] = state[15:16]
+    out_ref[0, 9:10] = S0 * M2 - M1 * M1     # distortion ≡ S0·S2 − S1²
+    out_ref[0, 10:13] = state[10:13]
+    out_ref[0, 13:14] = M1
+    out_ref[0, 14:15] = M2
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "chunk",

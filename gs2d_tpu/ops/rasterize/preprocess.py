@@ -88,9 +88,14 @@ def preprocess(
     m_splat = jnp.stack([row0, row1, row2], axis=-2)    # (N,3,4)
 
     ndc2pix = jnp.asarray(ndc_to_pix_matrix(width, height), means3d.dtype)
-    world2pix = full_proj @ ndc2pix                      # (4,4) row-vector
+    # Precision.HIGHEST on every geometry matmul: the TPU default
+    # single-pass bf16 MXU rounding perturbs the homography by ~1e-3
+    # relative, visibly shifting every composited pixel vs the oracle
+    # (verified on v5e: widespread ~4e-3 image deviations without it).
+    hi = jax.lax.Precision.HIGHEST
+    world2pix = jnp.matmul(full_proj, ndc2pix, precision=hi)  # row-vector
     w2p = world2pix[:, jnp.array([0, 1, 3])]             # (4,3): x̃, ỹ, w̃
-    Tm = m_splat @ w2p                                   # (N,3,3)
+    Tm = jnp.matmul(m_splat, w2p, precision=hi)          # (N,3,3)
 
     c0 = Tm[..., :, 0]
     c1 = Tm[..., :, 1]
@@ -125,7 +130,8 @@ def preprocess(
     center2d = jnp.stack([cx, cy], axis=-1)
 
     # camera-space depth of the center (row-vector view transform)
-    p_view = means3d @ world_view[:3, :3] + world_view[3, :3]
+    p_view = jnp.matmul(means3d, world_view[:3, :3], precision=hi) \
+        + world_view[3, :3]
     depth = p_view[..., 2]
 
     visible = (depth > NEAR_N) & d_ok & jnp.all(jnp.isfinite(extent), axis=-1)
@@ -142,7 +148,7 @@ def preprocess(
     )
 
     # view-space normal, flipped toward the camera (preprocess spec §2.1)
-    n_view = t_w @ world_view[:3, :3]
+    n_view = jnp.matmul(t_w, world_view[:3, :3], precision=hi)
     if normals_flip:
         flip = jnp.where(jnp.sum(p_view * n_view, axis=-1) < 0.0, 1.0, -1.0)
         n_view = n_view * flip[..., None]
