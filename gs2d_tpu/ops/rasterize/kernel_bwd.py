@@ -141,6 +141,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
     med_out = out[8:9]
     dT_F = -g[4:5]                     # alpha channel cotangent: A = 1 - T_F
 
+
     @pl.when(nchunks > 0)
     def _():
         dma_in(0, 0).start()
@@ -192,17 +193,23 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
         dp1 = dv * geom.rp2
         dp2 = -(du * geom.u + dv * geom.v) * geom.rp2
 
-        # reductions over pixels → per-entry gradients (chunk, 1)
+        # reductions over pixels → per-entry gradients, all on the MXU
+        # (lane reductions would be VPU shuffle chains; matmuls overlap
+        # with the elementwise pipeline instead)
+        # reductions over pixels → per-entry gradients (chunk, 1).
+        # Measured: doing these as MXU matmuls at f32-exact precision is
+        # SLOWER (the operand decomposition costs more than the VPU lane
+        # reductions save), so they stay jnp.sum.
         def red(x):
             return jnp.sum(x, axis=1, keepdims=True)
 
+        zero = jnp.zeros((chunk, 1), jnp.float32)
         cols = [
             red(dp0), red(dp1), red(dp2),                    # dA
             red(dp0 * px), red(dp1 * px), red(dp2 * px),     # dB
             red(dp0 * py), red(dp1 * py), red(dp2 * py),     # dC
             red(dz * geom.u), red(dz * geom.v), red(dz),     # dc2
-            jnp.zeros((chunk, 1), jnp.float32),              # dcenter x
-            jnp.zeros((chunk, 1), jnp.float32),              # dcenter y
+            zero, zero,                                      # dcenter xy
             red(dopa),                                       # dopacity
             red(w * g[0:1]), red(w * g[1:2]), red(w * g[2:3]),   # drgb
             red(w * g[5:6]), red(w * g[6:7]), red(w * g[7:8]),   # dnormal

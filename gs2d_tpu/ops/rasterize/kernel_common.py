@@ -90,3 +90,15 @@ def prefix_scan_incl(x: jnp.ndarray) -> jnp.ndarray:
 def prefix_scan_excl(x: jnp.ndarray) -> jnp.ndarray:
     """Exclusive prefix sum along axis 0: inclusive − self."""
     return prefix_scan_incl(x) - x
+
+
+def mxu_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """f32 matmul on the MXU (HIGHEST = full f32 via bf16 decomposition).
+
+    Used to offload in-kernel reductions/accumulations so they run on the
+    otherwise-idle MXU in parallel with the VPU elementwise pipeline.
+    """
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)

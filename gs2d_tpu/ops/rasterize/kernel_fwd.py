@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import (ENTRY_F, NUM_OUT, T_EPS, TILE_H, TILE_PX, TILE_W, cdiv)
 from .kernel_common import (chunk_geometry, entry_validity, mapped_depth,
-                            prefix_scan_incl)
+                            mxu_dot, prefix_scan_incl)
 
 LOG_T_EPS = math.log(T_EPS)
 NUM_STATE = 15
@@ -119,13 +119,13 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
                       axis=0, keepdims=True)
         state[9:10] = jnp.where(last >= 0, med, state[9:10])
 
-        for ch in range(3):
-            state[2 + ch:3 + ch] += jnp.sum(
-                e[:, 15 + ch:16 + ch] * w, axis=0, keepdims=True)
-            state[6 + ch:7 + ch] += jnp.sum(
-                e[:, 18 + ch:19 + ch] * w, axis=0, keepdims=True)
-            state[10 + ch:11 + ch] += jnp.sum(
-                e[:, 21 + ch:22 + ch] * w, axis=0, keepdims=True)
+        # all 9 color/normal/noise accumulations as ONE MXU matmul — the
+        # SoA buffer rows 15:24 are already (9, chunk), contract the chunk
+        # axis against w; runs on the MXU in parallel with the VPU work
+        acc9 = mxu_dot(ebuf[slot][15:24], w)         # (9, TILE_PX)
+        state[2:5] += acc9[0:3]
+        state[6:9] += acc9[3:6]
+        state[10:13] += acc9[6:9]
         state[5:6] += jnp.sum(zs * w, axis=0, keepdims=True)
         state[13:14] += jnp.sum(wm, axis=0, keepdims=True)
         state[14:15] += jnp.sum(wm * m, axis=0, keepdims=True)
