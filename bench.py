@@ -39,7 +39,7 @@ def main():
     fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
     cam = make_camera(np.eye(3), np.array([0.0, 0.0, 4.0]), fovx, fovy, W, H)
     means, scales, quats, opac, rgb = build_scene()
-    cfg = RasterizeConfig(width=W, height=H, pairs_capacity=1 << 21,
+    cfg = RasterizeConfig(width=W, height=H, pairs_capacity=1 << 20,
                           chunk=128)
     cot = jnp.ones((15, H, W), jnp.float32)
 

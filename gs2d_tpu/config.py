@@ -59,7 +59,7 @@ class RuntimeParams:
     """TPU-framework-specific knobs (no reference counterpart)."""
     initial_capacity: int = 1 << 17
     capacity_headroom: float = 1.25   # grow when active > cap/headroom
-    pairs_capacity: int = 1 << 21
+    pairs_capacity: int = 1 << 19
     chunk: int = 128
     interpret: bool = False           # Pallas interpreter (CPU tests)
     seed: int = 0

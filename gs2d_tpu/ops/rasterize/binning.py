@@ -45,8 +45,14 @@ class BinningOut(NamedTuple):
 
 
 def alloc_size(pairs_capacity: int, num_tiles: int, chunk: int) -> int:
-    """Slot-array allocation: capacity plus per-tile alignment headroom."""
-    return pairs_capacity + num_tiles * chunk
+    """Slot-array allocation. ``pairs_capacity`` bounds the CHUNK-padded
+    slot total (real pairs + per-tile alignment padding), so the
+    allocation is exactly the capacity — the caller's overflow-growth
+    loop (train/loop.py) absorbs scenes that exceed it. Keeping every
+    capacity-proportional cost (sort, scatter, expansion gather, the
+    kernels' d_entries) tied to ONE knob roughly halves the binning+
+    gather cost vs a worst-case + T·chunk headroom."""
+    return pairs_capacity
 
 
 def _div_floor_f32(k: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -128,7 +134,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     padded = cdiv_arr(tile_count, chunk) * chunk
     aligned_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
-    overflow = ((aligned_start[-1] + padded[-1]) > P_alloc) | (total > pairs_capacity)
+    overflow = ((aligned_start[-1] + padded[-1]) > P_alloc) | (total > pairs_capacity)  # noqa: E501 — padded total is the binding constraint
     # Clamp so every tile's padded range fits inside the allocation.
     avail = jnp.maximum(P_alloc - aligned_start, 0)
     tile_count = jnp.minimum(tile_count, avail)

@@ -26,7 +26,7 @@ from gs2d_tpu.utils.timing import timed_loop
 
 def main():
     W, H, N = 1920, 1080, 100_000
-    cap, chunk = 1 << 21, 128
+    cap, chunk = 1 << 20, 128
     fovx = math.radians(70)
     fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
     cam = make_camera(np.eye(3), np.array([0.0, 0.0, 4.0]), fovx, fovy, W, H)

@@ -107,5 +107,5 @@ def run(W, H, N, pairs_cap, label):
 if __name__ == "__main__":
     print("backend:", jax.devices())
     run(512, 512, 20_000, 1 << 17, "small")
-    run(1920, 1080, 100_000, 1 << 21, "1080p")
+    run(1920, 1080, 100_000, 1 << 20, "1080p")
     run(1920, 1080, 500_000, 1 << 22, "1080p-large")

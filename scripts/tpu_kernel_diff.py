@@ -43,7 +43,7 @@ def build():
         a[0], a[1], a[2], a[3], cam.world_view, cam.full_proj, cam.campos,
         W, H, colors=a[4]))(means, scales, quats, opac, rgb)
     bins = jax.jit(lambda p: bin_gaussians(
-        p.center2d, p.extent, p.depth, p.visible, W, H, 1 << 16, 128))(pre)
+        p.center2d, p.extent, p.depth, p.visible, W, H, 1 << 17, 128))(pre)
     packed = jax.jit(pack_entries)(pre)
     entries = np.asarray(packed)[np.asarray(bins.gid)].T
     entries = np.ascontiguousarray(entries.astype(np.float32))

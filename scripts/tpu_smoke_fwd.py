@@ -21,7 +21,7 @@ pre = preprocess(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
                  cam.width, cam.height, colors=jnp.asarray(rgb),
                  noise=jnp.asarray(noise))
 cfg = RasterizeConfig(width=cam.width, height=cam.height,
-                      pairs_capacity=1 << 16, chunk=128, interpret=False)
+                      pairs_capacity=1 << 17, chunk=128, interpret=False)
 
 render = jax.jit(lambda p: rasterize(p, cfg))
 t0 = time.time()
