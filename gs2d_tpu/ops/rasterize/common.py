@@ -17,11 +17,13 @@ FAR_N = 100.0               # far plane for the distortion depth remap
 FILTER_INV_SQUARE = 2.0     # screen-space low-pass: rho2d = 2*d^2 (sigma=1/sqrt(2) px)
 SIGMA_CUTOFF = 3.0          # 3-sigma bounding extent
 
-# TPU tile shape: one Pallas program composites an (8, 128) pixel tile —
-# the native f32 vreg shape — flattened to (1, 1024) lanes in tile-major
-# image layout.
-TILE_H = 8
-TILE_W = 128
+# TPU tile shape: one Pallas program composites a (16, 32) pixel tile,
+# flattened to (1, 512) lanes in tile-major image layout. Near-square
+# tiles minimize per-splat pixel work (a radius-r splat touches
+# (2r/TW+1)(2r/TH+1)·TW·TH pixels — (8,128) vreg-shaped tiles cost ~2.3x
+# more at typical r≈10px) while 512 lanes keep every VPU op full-width.
+TILE_H = 16
+TILE_W = 32
 TILE_PX = TILE_H * TILE_W
 
 # Entry record layout: one row of the binned, depth-sorted, per-tile

@@ -99,8 +99,8 @@ def _dw_terms(e, g, w, live, zs, m, S0, M1_tot, M2_tot):
 
 
 def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
-                state, ebuf, wbuf, sem_r, sem_w, *, ntx: int, chunk: int,
-                width: int, height: int):
+                state, ebuf, wbuf, sem_r, sem_w, done_flag, *, ntx: int,
+                chunk: int, width: int, height: int):
     t = pl.program_id(0)
     start = ts_ref[t]
     count = tc_ref[t]
@@ -146,6 +146,8 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
     def _():
         dma_in(0, 0).start()
 
+    done_flag[0] = 0
+
     def body2(ci, _):
         slot = jax.lax.rem(ci, 2)
 
@@ -154,6 +156,29 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
             dma_in(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
         dma_in(slot, ci).wait()
+
+        # latch the flag BEFORE the compute block may update it, so the
+        # zero-fill branch never clobbers a freshly computed chunk
+        was_done = done_flag[0]
+
+        @pl.when(ci >= 2)
+        def _():
+            dma_out(slot, ci - 2).wait()
+
+        @pl.when(was_done != 0)
+        def _():
+            # tile saturated earlier: every remaining gradient is zero,
+            # but the slots must still be written (consumed by segment-sum)
+            wbuf[slot] = jnp.zeros((ENTRY_F, chunk), jnp.float32)
+
+        @pl.when(was_done == 0)
+        def _():
+            _bwd_compute(ci, slot)
+
+        dma_out(slot, ci).start()
+        return 0
+
+    def _bwd_compute(ci, slot):
         e = jnp.transpose(ebuf[slot])
         (geom, a_eff, l2, cross, T_before, w, live, zs, m) = \
             _recompute_chunk(e, px, py, ci, chunk, count, state)
@@ -216,21 +241,16 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
             red(w * g[10:11]), red(w * g[11:12]), red(w * g[12:13]),  # dnoise
         ]
         d_chunk = jnp.concatenate(cols, axis=1)              # (chunk, 24)
-
-        # write out (double-buffered); wait for this slot's previous DMA
-        @pl.when(ci >= 2)
-        def _():
-            dma_out(slot, ci - 2).wait()
         wbuf[slot] = jnp.transpose(d_chunk)                  # (24, chunk)
-        dma_out(slot, ci).start()
 
         # state updates
         state[2:3] += jnp.sum(wdw, axis=0, keepdims=True)
         state[0:1] += jnp.sum(l2, axis=0, keepdims=True)
-        state[1:2] = jnp.maximum(
+        crossed = jnp.maximum(
             state[1:2], jnp.max(cross.astype(jnp.float32), axis=0,
                                 keepdims=True))
-        return 0
+        state[1:2] = crossed
+        done_flag[0] = (jnp.sum(crossed) >= float(TILE_PX)).astype(jnp.int32)
 
     jax.lax.fori_loop(0, nchunks, body2, 0)
 
@@ -274,6 +294,7 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
             pltpu.VMEM((2, ENTRY_F, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     kernel = functools.partial(_bwd_kernel, ntx=ntx, chunk=chunk,
