@@ -25,4 +25,15 @@ Layer map (TPU-native counterparts of the reference layers, see SURVEY.md):
   eval/           — PSNR/SSIM/LPIPS, DTU chamfer, TnT F1 harnesses.
 """
 
+import jax as _jax
+
+# TPU matmuls/convs default to single-pass bf16 rounding, which is NOT
+# acceptable for this framework's numerics: it visibly shifts rasterized
+# images (~4e-3/pixel), corrupts SSIM (near-zero variances go negative,
+# exploding the ratio — observed SSIM "4.06" on device) and degrades loss
+# gradients. Force full-f32 precision everywhere; the hot Pallas kernels
+# choose their own precision explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+
 __version__ = "0.1.0"

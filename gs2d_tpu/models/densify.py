@@ -165,11 +165,22 @@ def reset_opacity(state: GaussianState, opt: AdamState
 
 
 def add_densification_stats(state: GaussianState, screen_grads: jnp.ndarray,
-                            radii: jnp.ndarray) -> GaussianState:
+                            radii: jnp.ndarray,
+                            width: int = 2, height: int = 2) -> GaussianState:
     """Accumulate per-point screen-gradient norms and max radii
-    (reference train.py:127-128, gaussian_model.py:405-407)."""
+    (reference train.py:127-128, gaussian_model.py:405-407).
+
+    ``screen_grads`` arrive in PIXEL units (grad w.r.t. the zero screen
+    offset); the reference CUDA kernel emits mean2D gradients in the NDC
+    half-extent convention (pixel grad x W/2, H/2) and the 2e-4 densify
+    threshold is tuned for THOSE units — without this conversion the
+    threshold is ~2/W too strict and clone/split never fires (observed:
+    a synthetic scene only pruned, never densified, plateauing at
+    PSNR ~12).
+    """
     vis = radii > 0
-    gnorm = jnp.linalg.norm(screen_grads, axis=-1)
+    scale = jnp.asarray([0.5 * width, 0.5 * height], screen_grads.dtype)
+    gnorm = jnp.linalg.norm(screen_grads * scale, axis=-1)
     return dataclasses.replace(
         state,
         max_radii2d=jnp.where(vis, jnp.maximum(state.max_radii2d,

@@ -88,23 +88,27 @@ _gather_barrier.defvjp(_gather_barrier_fwd, _gather_barrier_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _core(cfg: RasterizeConfig, entries, slot_valid, tile_start, tile_count):
-    return rasterize_fwd_pallas(
+    out, _ = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
         interpret=cfg.interpret)
+    return out
 
 
 def _core_fwd(cfg, entries, slot_valid, tile_start, tile_count):
-    out = _core(cfg, entries, slot_valid, tile_start, tile_count)
-    return out, (entries, slot_valid, tile_start, tile_count, out)
+    out, med_idx = rasterize_fwd_pallas(
+        entries, tile_start, tile_count,
+        width=cfg.width, height=cfg.height, chunk=cfg.chunk,
+        interpret=cfg.interpret)
+    return out, (entries, slot_valid, tile_start, tile_count, out, med_idx)
 
 
 def _core_bwd(cfg, res, g):
     from .kernel_bwd import rasterize_bwd_pallas
 
-    entries, slot_valid, tile_start, tile_count, out = res
+    entries, slot_valid, tile_start, tile_count, out, med_idx = res
     d_raw = rasterize_bwd_pallas(
-        entries, tile_start, tile_count, out, g,
+        entries, tile_start, tile_count, out, g, med_idx,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
         interpret=cfg.interpret)
     d_entries = jnp.where(slot_valid[None, :], d_raw, 0.0)

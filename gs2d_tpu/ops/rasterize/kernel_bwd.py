@@ -98,9 +98,9 @@ def _dw_terms(e, g, w, live, zs, m, S0, M1_tot, M2_tot):
     return dw, dm
 
 
-def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
-                state, ebuf, wbuf, sem_r, sem_w, done_flag, *, ntx: int,
-                chunk: int, width: int, height: int):
+def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
+                d_entries, state, ebuf, wbuf, sem_r, sem_w, done_flag, *,
+                ntx: int, chunk: int, width: int, height: int):
     t = pl.program_id(0)
     start = ts_ref[t]
     count = tc_ref[t]
@@ -114,6 +114,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
     M1_tot = out[13:14]
     M2_tot = out[14:15]
     gMed = g[8:9]
+    med_idx = med_tiles[0]                # (1, TILE_PX) contributor slot
 
     state[...] = jnp.zeros((NUM_STATE, TILE_PX), jnp.float32)
     border = ((px >= width) | (py >= height)).astype(jnp.float32)
@@ -138,7 +139,6 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
         + jnp.sum(g[5:8] * out[5:8], axis=0, keepdims=True) \
         + 2.0 * g[9:10] * out[9:10] \
         + jnp.sum(g[10:15] * out[10:15], axis=0, keepdims=True)
-    med_out = out[8:9]
     dT_F = -g[4:5]                     # alpha channel cotangent: A = 1 - T_F
 
 
@@ -194,10 +194,10 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
         dalpha = T_before * dw - (S_wdw + T_F * dT_F) / one_m_a
         dalpha = jnp.where(live, dalpha, 0.0)
 
-        # median contributor: the recomputed depth reproduces the forward's
-        # bit pattern, so equality against the median output identifies it
-        sel = live & (T_before > 0.5)
-        is_med = sel & (zs == med_out)
+        # median contributor by exact slot identity (forward aux output) —
+        # immune to recompute rounding between separately compiled kernels
+        ii = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_PX), 0)
+        is_med = (ci * chunk + ii).astype(jnp.float32) == med_idx
 
         # dz: expected-depth + median + mapped-depth chain
         dz = w * g[3:4] + jnp.where(is_med, gMed, 0.0) \
@@ -267,8 +267,8 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, d_entries,
                                              "interpret"))
 def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
                          tile_count: jnp.ndarray, out_tiles: jnp.ndarray,
-                         g_tiles: jnp.ndarray, *, width: int, height: int,
-                         chunk: int = 128,
+                         g_tiles: jnp.ndarray, med_tiles: jnp.ndarray, *,
+                         width: int, height: int, chunk: int = 128,
                          interpret: bool = False) -> jnp.ndarray:
     """Per-entry gradients: returns d_entries with the same SoA layout
     (ENTRY_F, P_alloc) as the forward's entries input."""
@@ -285,6 +285,8 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
             pl.BlockSpec((1, NUM_OUT, TILE_PX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NUM_OUT, TILE_PX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_PX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -305,4 +307,4 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((ENTRY_F, P_alloc), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, entries, out_tiles, g_tiles)
+    )(tile_start, tile_count, entries, out_tiles, g_tiles, med_tiles)

@@ -44,9 +44,9 @@ from .kernel_common import (chunk_geometry, entry_validity, mapped_depth,
                             mxu_dot, prefix_scan_incl)
 
 LOG_T_EPS = math.log(T_EPS)
-NUM_STATE = 15
+NUM_STATE = 16
 # state rows: 0 logT, 1 crossed, 2:5 color, 5 D, 6:9 normal, 9 median,
-#             10:13 noise, 13 M1, 14 M2
+#             10:13 noise, 13 M1, 14 M2, 15 median contributor slot index
 
 
 def _pixel_coords(t, ntx):
@@ -58,8 +58,8 @@ def _pixel_coords(t, ntx):
     return px, py
 
 
-def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
-                done_flag, *, ntx: int, chunk: int, width: int,
+def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
+                sem, done_flag, *, ntx: int, chunk: int, width: int,
                 height: int):
     t = pl.program_id(0)
     start = ts_ref[t]
@@ -71,6 +71,7 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
     # out-of-image border pixels start "crossed" so edge tiles can take
     # the all-pixels-done early exit (their output is cropped anyway)
     state[1:2] = ((px >= width) | (py >= height)).astype(jnp.float32)
+    state[15:16] = -jnp.ones((1, TILE_PX), jnp.float32)
 
     def dma(slot, ci):
         # entries is SoA (ENTRY_F, P_alloc): lane-dim slices start at
@@ -133,6 +134,13 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
             med = jnp.sum(jnp.where(sel & (ii == last), zs, 0.0),
                           axis=0, keepdims=True)
             state[9:10] = jnp.where(last >= 0, med, state[9:10])
+            # median contributor's tile-local slot index — the backward
+            # credits the median-depth gradient by exact integer identity
+            # instead of bit-matching a recomputed float depth (the CUDA
+            # kernels likewise persist a per-pixel contributor id)
+            state[15:16] = jnp.where(
+                last >= 0, (ci * chunk + last).astype(jnp.float32),
+                state[15:16])
 
             # all 9 color/normal/noise accumulations as ONE MXU matmul —
             # the SoA buffer rows 15:24 are already (9, chunk), contract
@@ -156,6 +164,7 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, state, ebuf, sem,
 
     jax.lax.fori_loop(0, nchunks, body, 0)
 
+    med_ref[0, 0:1] = state[15:16]
     T_final = jnp.exp(state[0:1])
     S0 = 1.0 - T_final
     M1 = state[13:14]
@@ -177,7 +186,9 @@ def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
                          tile_count: jnp.ndarray, *, width: int, height: int,
                          chunk: int = 128,
                          interpret: bool = False) -> jnp.ndarray:
-    """entries (ENTRY_F, P_alloc) f32 SoA → (T, NUM_OUT, TILE_PX) f32."""
+    """entries (ENTRY_F, P_alloc) f32 SoA → (out, med_idx):
+    out (T, NUM_OUT, TILE_PX) f32; med_idx (T, 1, TILE_PX) f32 carries the
+    per-pixel median contributor's tile-local slot (backward-only aux)."""
     if not interpret:
         assert chunk % 128 == 0, "hardware DMA needs 128-lane-aligned chunks"
     ntx = cdiv(width, TILE_W)
@@ -187,9 +198,12 @@ def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(
-            (1, NUM_OUT, TILE_PX), lambda t, *_: (t, 0, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, NUM_OUT, TILE_PX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_PX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((NUM_STATE, TILE_PX), jnp.float32),
             pltpu.VMEM((2, ENTRY_F, chunk), jnp.float32),
@@ -202,6 +216,9 @@ def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, NUM_OUT, TILE_PX), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, NUM_OUT, TILE_PX), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, TILE_PX), jnp.float32),
+        ),
         interpret=interpret,
     )(tile_start, tile_count, entries)

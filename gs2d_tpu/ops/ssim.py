@@ -31,12 +31,15 @@ def _blur(img: jnp.ndarray, k: jnp.ndarray, pad: int) -> jnp.ndarray:
     kw = jnp.tile(k.reshape(1, 1, 1, -1), (C, 1, 1, 1))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
                                         ("NCHW", "OIHW", "NCHW"))
+    # precision HIGHEST: bf16 conv rounding makes blur(x*x) - mu^2 go
+    # negative on flat regions, exploding the SSIM ratio on TPU
+    hi = jax.lax.Precision.HIGHEST
     x = jax.lax.conv_general_dilated(
         x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-        feature_group_count=C)
+        feature_group_count=C, precision=hi)
     x = jax.lax.conv_general_dilated(
         x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-        feature_group_count=C)
+        feature_group_count=C, precision=hi)
     return x[0]
 
 

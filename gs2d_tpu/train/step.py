@@ -100,7 +100,8 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
                                         gs.active)
 
         gs = dataclasses.replace(gs, params=new_params)
-        gs = add_densification_stats(gs, goff, aux["radii"])
+        gs = add_densification_stats(gs, goff, aux["radii"],
+                                     rcfg.width, rcfg.height)
 
         metrics = {
             "total_loss": total, "l1": aux["l1"], "ssim": aux["ssim"],

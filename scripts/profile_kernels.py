@@ -55,18 +55,18 @@ def main():
 
     @jax.jit
     def step_fwd(e):
-        out = fwd(e)
+        out, _ = fwd(e)
         return e + 1e-30 * jnp.sum(out[::997, :, ::97])
 
     t, _ = timed_loop(step_fwd, entries, n=10)
     print(f"fwd kernel: {t*1e3:.2f} ms")
 
-    out_tiles = jax.jit(fwd)(entries)
+    out_tiles, med_tiles = jax.jit(fwd)(entries)
     g_tiles = jnp.ones_like(out_tiles)
 
     @jax.jit
     def step_bwd(e):
-        d = rasterize_bwd_pallas(e, ts, tc, out_tiles, g_tiles,
+        d = rasterize_bwd_pallas(e, ts, tc, out_tiles, g_tiles, med_tiles,
                                  width=W, height=H, chunk=chunk)
         return e + 1e-30 * d
 

@@ -50,27 +50,54 @@ def build():
     ts = np.asarray(bins.tile_start)
     tc = np.asarray(bins.tile_count)
 
+    from gs2d_tpu.ops.rasterize.kernel_bwd import rasterize_bwd_pallas
+
     on_hw = jax.devices()[0].platform != "cpu"
-    out_tiles = rasterize_fwd_pallas(
+    out_tiles, med_tiles = rasterize_fwd_pallas(
         jnp.asarray(entries), jnp.asarray(ts), jnp.asarray(tc),
         width=W, height=H, chunk=128, interpret=not on_hw)
+    g_tiles = jnp.ones_like(out_tiles)
+    d_entries = rasterize_bwd_pallas(
+        jnp.asarray(entries), jnp.asarray(ts), jnp.asarray(tc),
+        out_tiles, g_tiles, med_tiles, width=W, height=H, chunk=128,
+        interpret=not on_hw)
     out = np.asarray(untile(out_tiles, W, H))
     if on_hw:
         np.savez(PATH, entries=entries, ts=ts, tc=tc, out=out,
-                 W=W, H=H)
+                 out_tiles=np.asarray(out_tiles),
+                 med_tiles=np.asarray(med_tiles),
+                 d_entries=np.asarray(d_entries), W=W, H=H)
         print("saved", PATH, "platform", jax.devices()[0].platform)
     return out
 
 
 def compare():
+    from gs2d_tpu.ops.rasterize.kernel_bwd import rasterize_bwd_pallas
     from gs2d_tpu.ops.rasterize.kernel_fwd import rasterize_fwd_pallas
     from gs2d_tpu.ops.rasterize.api import untile
 
     d = np.load(PATH)
     W, H = int(d["W"]), int(d["H"])
-    out_tiles = rasterize_fwd_pallas(
+    out_tiles, _ = rasterize_fwd_pallas(
         jnp.asarray(d["entries"]), jnp.asarray(d["ts"]), jnp.asarray(d["tc"]),
         width=W, height=H, chunk=128, interpret=True)
+    de_cpu = np.asarray(rasterize_bwd_pallas(
+        jnp.asarray(d["entries"]), jnp.asarray(d["ts"]), jnp.asarray(d["tc"]),
+        jnp.asarray(d["out_tiles"]), jnp.ones_like(out_tiles),
+        jnp.asarray(d["med_tiles"]),
+        width=W, height=H, chunk=128, interpret=True))
+    de_hw = d["d_entries"]
+    # only slots inside some tile's chunk-aligned range are ever written
+    # (the API masks the rest with slot_valid before the segment-sum)
+    ts_a, tc_a = d["ts"].astype(np.int64), d["tc"].astype(np.int64)
+    written = int((ts_a + -(-tc_a // 128) * 128).max())
+    de_hw = de_hw[:, :written]
+    de_cpu = de_cpu[:, :written]
+    scale = np.maximum(np.abs(de_cpu).max(axis=1, keepdims=True), 1e-6)
+    rel = np.abs(de_hw - de_cpu) / scale
+    print(f"bwd d_entries ({written} written slots): "
+          f"max rel-to-fieldmax {rel.max():.3e} "
+          f"mean {rel.mean():.3e} frac>1e-3 {(rel > 1e-3).mean():.6f}")
     out_cpu = np.asarray(untile(out_tiles, W, H))
     out_hw = d["out"]
     names = ["r", "g", "b", "D", "alpha", "nx", "ny", "nz", "med", "dist",

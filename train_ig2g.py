@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--editor", choices=["stub", "diffusers"],
                     default="stub")
     ap.add_argument("--save_edited", action="store_true")
+    ap.add_argument("--wandb", action="store_true",
+                    help="log to Weights & Biases (reference parity, "
+                         "train_ig2g.py:610-614); no-op if not installed")
     args = ap.parse_args()
 
     import uuid
@@ -52,6 +55,17 @@ def main():
         args.model_path = os.path.join("./output",
                                        "ig2g_" + str(uuid.uuid4())[:8])
     os.makedirs(args.model_path, exist_ok=True)
+
+    # wandb logging (reference train_ig2g.py:610-614), gated on install
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+            wandb_run = wandb.init(project="gs2d_tpu_ig2g",
+                                   dir=args.model_path,
+                                   config=vars(args))
+        except Exception as e:  # not installed / offline — keep training
+            print(f"wandb unavailable ({e}); continuing without it")
 
     import jax
     import jax.numpy as jnp
@@ -172,6 +186,13 @@ def main():
             bar.set_postfix(loss=f"{float(metrics['loss']):.5f}",
                             edits=ip2p_iteration,
                             points=int(metrics["num_points"]))
+            if wandb_run is not None:
+                wandb_run.log({
+                    "train/loss": float(metrics["loss"]),
+                    "train/total_loss": float(metrics["total_loss"]),
+                    "train/points": int(metrics["num_points"]),
+                    "train/edits": ip2p_iteration,
+                }, step=iteration)
         if iteration == opt.iterations:
             scene.save(iteration, ts.gaussians)
 
