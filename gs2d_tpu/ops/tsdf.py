@@ -29,7 +29,13 @@ class TSDFVolume(NamedTuple):
 
 def make_volume(center: np.ndarray, radius: float, voxel_size: float,
                 max_dim: int = 512) -> TSDFVolume:
-    dim = int(min(max_dim, np.ceil(2 * radius / voxel_size)))
+    dim = int(np.ceil(2 * radius / voxel_size))
+    if dim > max_dim:
+        # capping must COARSEN the voxels, never shrink the covered extent
+        # (a fixed-voxel cap would leave the grid in one corner of the
+        # scene and nothing would ever integrate)
+        dim = max_dim
+        voxel_size = 2 * radius / max_dim
     origin = np.asarray(center, np.float32) - radius
     shape = (dim, dim, dim)
     return TSDFVolume(
@@ -67,37 +73,80 @@ def integrate(vol: TSDFVolume, depth: jnp.ndarray, color: jnp.ndarray,
               width: int, height: int, sdf_trunc: float,
               depth_trunc: float) -> TSDFVolume:
     """Integrate one view. depth (H, W); color (3, H, W); world_view is the
-    row-vector world→view transform; (fx, fy) focal lengths in pixels."""
+    row-vector world→view transform; (fx, fy) focal lengths in pixels.
+
+    Processed in X-slabs under a lax.scan: materializing the full point
+    grid plus temporaries at 512³ is tens of GB (OOMs a 16 GB chip); a
+    slab keeps the working set to a few hundred MB while the volume
+    itself stays resident.
+    """
     X, Y, Z = vol.tsdf.shape
-    ii, jj, kk = jnp.meshgrid(jnp.arange(X), jnp.arange(Y), jnp.arange(Z),
-                              indexing="ij")
-    pts = (jnp.stack([ii, jj, kk], -1).reshape(-1, 3).astype(jnp.float32)
-           * vol.voxel_size + vol.origin)
-    p_view = pts @ world_view[:3, :3] + world_view[3, :3]
-    z = p_view[:, 2]
-    # pinhole projection with half-pixel center (ndc2pix (W-1)/2 offset)
-    u = p_view[:, 0] / jnp.maximum(z, 1e-9) * fx + (width - 1) / 2.0
-    v = p_view[:, 1] / jnp.maximum(z, 1e-9) * fy + (height - 1) / 2.0
-    inb = ((z > 1e-4) & (u >= 0) & (u <= width - 1)
-           & (v >= 0) & (v <= height - 1))
+    BX = max(1, min(X, (1 << 22) // max(Y * Z, 1)))  # ~4M voxels per slab
+    while X % BX:
+        BX -= 1
+    nb = X // BX
+    # Pack depth+color into one (H·W, 4) row table: bilinear taps become
+    # packed ROW gathers (fast TPU path) instead of four 1-D gathers per
+    # channel (~70x slower, measured).
+    table = jnp.concatenate(
+        [depth[..., None], color.transpose(1, 2, 0)], -1).reshape(-1, 4)
 
-    d_samp = _bilinear(depth, u, v)[:, 0]
-    c_samp = _bilinear(color.transpose(1, 2, 0), u, v)
-    valid_d = (d_samp > 1e-6) & (d_samp < depth_trunc)
-    sdf = d_samp - z
-    upd = inb & valid_d & (sdf > -sdf_trunc)
-    d = jnp.clip(sdf / sdf_trunc, -1.0, 1.0)
+    jj, kk = jnp.meshgrid(jnp.arange(Y), jnp.arange(Z), indexing="ij")
+    jk = jnp.stack([jj, kk], -1).reshape(-1, 2).astype(jnp.float32)
 
-    w_old = vol.weight.reshape(-1)
-    t_old = vol.tsdf.reshape(-1)
-    c_old = vol.color.reshape(-1, 3)
-    w_new = w_old + upd.astype(jnp.float32)
-    denom = jnp.maximum(w_new, 1.0)
-    t_new = jnp.where(upd, (t_old * w_old + d) / denom, t_old)
-    c_new = jnp.where(upd[:, None],
-                      (c_old * w_old[:, None] + c_samp) / denom[:, None],
-                      c_old)
-    return TSDFVolume(tsdf=t_new.reshape(vol.tsdf.shape),
-                      weight=w_new.reshape(vol.weight.shape),
-                      color=c_new.reshape(vol.color.shape),
+    def slab(carry, b):
+        tsdf, weight, colv = carry
+        x0 = b * BX
+        ii = (x0 + jnp.arange(BX, dtype=jnp.float32))[:, None, None]
+        pts = jnp.concatenate(
+            [jnp.broadcast_to(ii, (BX, Y * Z, 1)),
+             jnp.broadcast_to(jk[None], (BX, Y * Z, 2))], -1
+        ).reshape(-1, 3) * vol.voxel_size + vol.origin
+        p_view = pts @ world_view[:3, :3] + world_view[3, :3]
+        z = p_view[:, 2]
+        # pinhole projection with half-pixel center (ndc2pix (W-1)/2)
+        u = p_view[:, 0] / jnp.maximum(z, 1e-9) * fx + (width - 1) / 2.0
+        v = p_view[:, 1] / jnp.maximum(z, 1e-9) * fy + (height - 1) / 2.0
+        inb = ((z > 1e-4) & (u >= 0) & (u <= width - 1)
+               & (v >= 0) & (v <= height - 1))
+
+        x0i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, width - 2)
+        y0i = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, height - 2)
+        fxw = jnp.clip(u - x0i, 0.0, 1.0)[:, None]
+        fyw = jnp.clip(v - y0i, 0.0, 1.0)[:, None]
+        base = y0i * width + x0i
+        s00 = table[base]
+        s01 = table[base + 1]
+        s10 = table[base + width]
+        s11 = table[base + width + 1]
+        samp = (s00 * (1 - fxw) * (1 - fyw) + s01 * fxw * (1 - fyw)
+                + s10 * (1 - fxw) * fyw + s11 * fxw * fyw)
+        d_samp = samp[:, 0]
+        c_samp = samp[:, 1:4]
+        valid_d = (d_samp > 1e-6) & (d_samp < depth_trunc)
+        sdf = d_samp - z
+        upd = inb & valid_d & (sdf > -sdf_trunc)
+        d = jnp.clip(sdf / sdf_trunc, -1.0, 1.0)
+
+        w_old = jax.lax.dynamic_slice_in_dim(weight, x0, BX, 0).reshape(-1)
+        t_old = jax.lax.dynamic_slice_in_dim(tsdf, x0, BX, 0).reshape(-1)
+        c_old = jax.lax.dynamic_slice_in_dim(colv, x0, BX, 0).reshape(-1, 3)
+        w_new = w_old + upd.astype(jnp.float32)
+        denom = jnp.maximum(w_new, 1.0)
+        t_new = jnp.where(upd, (t_old * w_old + d) / denom, t_old)
+        c_new = jnp.where(upd[:, None],
+                          (c_old * w_old[:, None] + c_samp) / denom[:, None],
+                          c_old)
+        tsdf = jax.lax.dynamic_update_slice_in_dim(
+            tsdf, t_new.reshape(BX, Y, Z), x0, 0)
+        weight = jax.lax.dynamic_update_slice_in_dim(
+            weight, w_new.reshape(BX, Y, Z), x0, 0)
+        colv = jax.lax.dynamic_update_slice_in_dim(
+            colv, c_new.reshape(BX, Y, Z, 3), x0, 0)
+        return (tsdf, weight, colv), None
+
+    (tsdf, weight, colv), _ = jax.lax.scan(
+        slab, (vol.tsdf, vol.weight, vol.color),
+        jnp.arange(nb, dtype=jnp.int32))
+    return TSDFVolume(tsdf=tsdf, weight=weight, color=colv,
                       origin=vol.origin, voxel_size=vol.voxel_size)

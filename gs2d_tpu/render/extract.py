@@ -84,12 +84,15 @@ class GaussianExtractor:
         return self.center, self.radius
 
     def extract_mesh_bounded(self, voxel_size=0.004, sdf_trunc=0.02,
-                             depth_trunc=3.0, max_dim=512):
+                             depth_trunc=3.0, max_dim=320):  # 320^3 fits+runs well on 16GB
         """Bounded TSDF fusion (reference :154-195)."""
         if not hasattr(self, "radius"):
             self.estimate_bounding_sphere()
         vol = make_volume(self.center, depth_trunc / 2.0 + self.radius,
                           voxel_size, max_dim=max_dim)
+        # if the dense grid was coarsened to fit max_dim, the truncation
+        # band must stay a few voxels wide or marching finds no crossings
+        sdf_trunc = max(float(sdf_trunc), 2.5 * vol.voxel_size)
         for i, cd in enumerate(self.viewpoints):
             cam = cd.camera
             depth = self.depthmaps[i].reshape(cam.height, cam.width)
