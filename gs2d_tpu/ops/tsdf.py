@@ -150,3 +150,64 @@ def integrate(vol: TSDFVolume, depth: jnp.ndarray, color: jnp.ndarray,
         jnp.arange(nb, dtype=jnp.int32))
     return TSDFVolume(tsdf=tsdf, weight=weight, color=colv,
                       origin=vol.origin, voxel_size=vol.voxel_size)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def fuse_sdf_points(pts: jnp.ndarray, trunc: jnp.ndarray,
+                    sdf_acc: jnp.ndarray, w_acc: jnp.ndarray,
+                    col_acc: jnp.ndarray,
+                    depth: jnp.ndarray, color: jnp.ndarray,
+                    alpha: jnp.ndarray, world_view: jnp.ndarray,
+                    fx: float, fy: float, width: int, height: int):
+    """One view of free-point projective SDF fusion (the unbounded /
+    contracted meshing path, reference utils/mesh_utils.py:211-257).
+
+    pts (N,3) world points, trunc (N,) per-point truncation band; running
+    (sdf, w, col) accumulators are updated with weight-1 running means.
+    Nearest-neighbor image sampling via one packed row-gather per slab.
+    """
+    N = pts.shape[0]
+    B = min(N, 1 << 22)
+    while N % B:
+        B -= 1
+    nb = N // B
+    table = jnp.concatenate(
+        [depth[..., None], alpha[..., None],
+         color.transpose(1, 2, 0)], -1).reshape(-1, 5)
+
+    def slab(carry, b):
+        sdf_a, w_a, col_a = carry
+        x0 = b * B
+        p = jax.lax.dynamic_slice_in_dim(pts, x0, B, 0)
+        tr = jax.lax.dynamic_slice_in_dim(trunc, x0, B, 0)
+        pv = p @ world_view[:3, :3] + world_view[3, :3]
+        z = pv[:, 2]
+        u = pv[:, 0] / jnp.maximum(z, 1e-9) * fx + (width - 1) / 2.0
+        v = pv[:, 1] / jnp.maximum(z, 1e-9) * fy + (height - 1) / 2.0
+        inb = ((z > 1e-4) & (u >= 0) & (u <= width - 1)
+               & (v >= 0) & (v <= height - 1))
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, width - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, height - 1)
+        s = table[vi * width + ui]                     # (B, 5)
+        d_s, a_s, c_s = s[:, 0], s[:, 1], s[:, 2:5]
+        sdf = d_s - z
+        ok = inb & (a_s > 0.5) & (d_s > 1e-6) & (sdf > -tr)
+        d = jnp.clip(sdf / tr, -1.0, 1.0)
+        w_old = jax.lax.dynamic_slice_in_dim(w_a, x0, B, 0)
+        s_old = jax.lax.dynamic_slice_in_dim(sdf_a, x0, B, 0)
+        c_old = jax.lax.dynamic_slice_in_dim(col_a, x0, B, 0)
+        w = ok.astype(jnp.float32)
+        w_new = w_old + w
+        denom = jnp.maximum(w_new, 1.0)
+        s_new = jnp.where(ok, (s_old * w_old + d) / denom, s_old)
+        c_new = jnp.where(ok[:, None],
+                          (c_old * w_old[:, None] + c_s) / denom[:, None],
+                          c_old)
+        sdf_a = jax.lax.dynamic_update_slice_in_dim(sdf_a, s_new, x0, 0)
+        w_a = jax.lax.dynamic_update_slice_in_dim(w_a, w_new, x0, 0)
+        col_a = jax.lax.dynamic_update_slice_in_dim(col_a, c_new, x0, 0)
+        return (sdf_a, w_a, col_a), None
+
+    (sdf_acc, w_acc, col_acc), _ = jax.lax.scan(
+        slab, (sdf_acc, w_acc, col_acc), jnp.arange(nb, dtype=jnp.int32))
+    return sdf_acc, w_acc, col_acc

@@ -140,32 +140,36 @@ class GaussianExtractor:
         world = uncontract(grid.reshape(-1, 3)) / scale + self.center
         norm_pts = grid.reshape(-1, 3)
 
-        sdf_acc = np.full((N ** 3,), 1.0, np.float32)
-        w_acc = np.zeros((N ** 3,), np.float32)
-        col_acc = np.zeros((N ** 3, 3), np.float32)
+        # adaptive truncation ∝ 1/(2-|y|) (reference :229-232)
+        r = np.linalg.norm(norm_pts, axis=-1)
+        trunc = (5 * 2 / N * np.where(
+            r > 1, 1.0 / (2 - np.minimum(r, 1.9)), 1.0)).astype(np.float32)
+
+        # per-view fusion runs on device (ops/tsdf.fuse_sdf_points) — the
+        # numpy formulation was ~100x slower than the chip
+        from ..ops.tsdf import fuse_sdf_points
+        pts_d = jnp.asarray(world)
+        trunc_d = jnp.asarray(trunc)
+        sdf_acc = jnp.full((N ** 3,), 1.0, jnp.float32)
+        w_acc = jnp.zeros((N ** 3,), jnp.float32)
+        col_acc = jnp.zeros((N ** 3, 3), jnp.float32)
         for i, cd in enumerate(self.viewpoints):
             cam = cd.camera
-            sdf_i, col_i, ok = self._project_sdf(
-                world, cam, self.depthmaps[i], self.rgbmaps[i],
-                self.alphamaps[i])
-            # adaptive truncation ∝ 1/(2-|y|) (reference :229-232)
-            r = np.linalg.norm(norm_pts, axis=-1)
-            sdf_trunc = 5 * 2 / N * np.where(r > 1, 1.0 / (2 - np.minimum(
-                r, 1.9)), 1.0)
-            ok &= sdf_i > -sdf_trunc
-            d = np.clip(sdf_i / sdf_trunc, -1, 1)
-            w = ok.astype(np.float32)
-            new_w = w_acc + w
-            upd = new_w > 0
-            sdf_acc[upd] = np.where(
-                w[upd] > 0,
-                (sdf_acc[upd] * w_acc[upd] + d[upd]) / new_w[upd],
-                sdf_acc[upd])
-            col_acc[upd] = np.where(
-                (w[upd] > 0)[:, None],
-                (col_acc[upd] * w_acc[upd, None] + col_i[upd])
-                / new_w[upd, None], col_acc[upd])
-            w_acc = new_w
+            sdf_acc, w_acc, col_acc = fuse_sdf_points(
+                pts_d, trunc_d, sdf_acc, w_acc, col_acc,
+                jnp.asarray(self.depthmaps[i]).reshape(cam.height,
+                                                       cam.width),
+                jnp.asarray(self.rgbmaps[i]).reshape(3, cam.height,
+                                                     cam.width),
+                jnp.asarray(self.alphamaps[i]).reshape(cam.height,
+                                                       cam.width),
+                cam.world_view,
+                fov2focal(cam.fovx, cam.width),
+                fov2focal(cam.fovy, cam.height),
+                cam.width, cam.height)
+        sdf_acc = np.asarray(sdf_acc)
+        w_acc = np.asarray(w_acc)
+        col_acc = np.asarray(col_acc)
 
         sdf_grid = sdf_acc.reshape(N, N, N)
         verts_c, faces = marching_tets(
