@@ -83,11 +83,59 @@ _gather_barrier.defvjp(_gather_barrier_fwd, _gather_barrier_bwd)
 
 
 # ---------------------------------------------------------------------------
-# custom-VJP core: (entries, bins) → tile images
+# custom-VJP core: (packed records, bins) → tile images
+#
+# The expansion gather packed[gid] lives INSIDE the VJP boundary so its
+# backward can be a contiguous segment sum in expansion order (pairs are
+# grouped per depth-sorted Gaussian there) instead of JAX's scatter-add
+# VJP — a scatter-add whose accumulator exceeds VMEM runs at ~0.3 G adds/s
+# (measured 395 ms for 4M pairs → 500k Gaussians; the segment-sum path is
+# a permutation row-gather + blocked triangular-matmul prefix sums + two
+# endpoint row-gathers, ~25 ms).
 # ---------------------------------------------------------------------------
 
+def _segment_sum_rows(d_pairs: jnp.ndarray, seg_start: jnp.ndarray,
+                      seg_end: jnp.ndarray) -> jnp.ndarray:
+    """Per-segment sums of contiguous rows: Σ_{p∈[s_i,e_i)} d_pairs[p].
+
+    128-row blocks: in-block inclusive prefixes via one batched triangular
+    matmul on the MXU + a cumsum over block totals. The in-block and
+    block-level parts are DIFFERENCED SEPARATELY — a single global prefix
+    difference carries cancellation error ~ulp(global magnitude), while
+    here segments inside one block are exact and multi-block segments only
+    see block-cumsum rounding."""
+    P, C = d_pairs.shape
+    x = d_pairs
+    if P % 128:
+        x = jnp.concatenate(
+            [x, jnp.zeros((128 - P % 128, C), x.dtype)], 0)
+    B = x.shape[0] // 128
+    xb = x.reshape(B, 128, C)
+    tri = jnp.tril(jnp.ones((128, 128), x.dtype))
+    pref = jnp.einsum("ij,bjc->bic", tri, xb,
+                      precision=jax.lax.Precision.HIGHEST)
+    flat_pref = pref.reshape(-1, C)                    # (B*128, C) in-block
+    csum = jnp.cumsum(pref[:, -1, :], axis=0)          # (B, C) inclusive
+
+    def at(idx):
+        """(in-block prefix, block offset) just BEFORE position idx."""
+        j = jnp.maximum(idx - 1, 0)
+        b = j // 128
+        nonzero = (idx > 0)[:, None]
+        inp = jnp.where(nonzero, flat_pref[j], 0.0)
+        off = jnp.where(nonzero & (b > 0)[:, None],
+                        csum[jnp.maximum(b - 1, 0)], 0.0)
+        return inp, off
+
+    inp_e, off_e = at(seg_end)
+    inp_s, off_s = at(seg_start)
+    return (inp_e - inp_s) + (off_e - off_s)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _core(cfg: RasterizeConfig, entries, slot_valid, tile_start, tile_count):
+def _core(cfg: RasterizeConfig, packed, gid, inv, seg_start, seg_end,
+          order, tile_start, tile_count):
+    entries = packed[gid].T
     out, _ = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
@@ -95,24 +143,37 @@ def _core(cfg: RasterizeConfig, entries, slot_valid, tile_start, tile_count):
     return out
 
 
-def _core_fwd(cfg, entries, slot_valid, tile_start, tile_count):
+def _core_fwd(cfg, packed, gid, inv, seg_start, seg_end, order,
+              tile_start, tile_count):
+    entries = packed[gid].T
     out, med_idx = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
         interpret=cfg.interpret)
-    return out, (entries, slot_valid, tile_start, tile_count, out, med_idx)
+    return out, (entries, inv, seg_start, seg_end, order,
+                 tile_start, tile_count, out, med_idx)
 
 
 def _core_bwd(cfg, res, g):
     from .kernel_bwd import rasterize_bwd_pallas
 
-    entries, slot_valid, tile_start, tile_count, out, med_idx = res
+    (entries, inv, seg_start, seg_end, order, tile_start, tile_count,
+     out, med_idx) = res
+    P_alloc = entries.shape[1]
+    N = order.shape[0]
     d_raw = rasterize_bwd_pallas(
         entries, tile_start, tile_count, out, g, med_idx,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
         interpret=cfg.interpret)
-    d_entries = jnp.where(slot_valid[None, :], d_raw, 0.0)
-    return d_entries, None, None, None
+    # slot order → expansion order (dropped pairs contribute zero; padding
+    # slots — including never-DMA-written ones — are simply never gathered)
+    ok = inv < P_alloc
+    d_pairs = d_raw.T[jnp.where(ok, inv, 0)]
+    d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
+    d_sorted = _segment_sum_rows(d_pairs, seg_start, seg_end)   # (N, 24)
+    d_packed = jnp.zeros((N, d_raw.shape[0]), d_raw.dtype).at[order].set(
+        d_sorted)
+    return d_packed, None, None, None, None, None, None, None
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -138,9 +199,8 @@ def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
     # the gather, recomputing it per *pair* as 24 scalar column gathers
     # (~80x slower on TPU, measured: 415ms → 5ms at 1080p/540k pairs).
     packed = _gather_barrier(packed)
-    entries = packed[bins.gid].T                     # SoA (24, P_alloc);
-    # gather VJP = per-Gaussian scatter-add (the no-atomics reduction)
-    out_tiles = _core(cfg, entries, bins.slot_valid,
+    out_tiles = _core(cfg, packed, bins.gid, bins.inv, bins.seg_start,
+                      bins.seg_end, bins.order,
                       bins.tile_start, bins.tile_count)
     out = untile(out_tiles, cfg.width, cfg.height)
     return out, {"num_pairs": bins.num_pairs, "overflow": bins.overflow}

@@ -42,6 +42,15 @@ class BinningOut(NamedTuple):
     tile_count: jnp.ndarray  # (T,) int32 true entry count per tile
     num_pairs: jnp.ndarray   # () int32 total real pairs (pre-clamp)
     overflow: jnp.ndarray    # () bool — capacity exceeded, tails dropped
+    # Gradient-reduction side tables: expansion order (pairs grouped
+    # contiguously per depth-sorted Gaussian) → binned slot. The gather
+    # VJP reduces per-Gaussian gradients with contiguous segment sums
+    # instead of a scatter-add (which collapses to ~0.3 G adds/s once the
+    # accumulator exceeds VMEM).
+    inv: jnp.ndarray          # (P_alloc,) int32 expansion pair → slot (P_alloc if dropped)
+    seg_start: jnp.ndarray    # (N,) int32 expansion segment start, clamped
+    seg_end: jnp.ndarray      # (N,) int32 expansion segment end, clamped
+    order: jnp.ndarray        # (N,) int32 depth-sorted → original Gaussian id
 
 
 def alloc_size(pairs_capacity: int, num_tiles: int, chunk: int) -> int:
@@ -123,8 +132,10 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     pair_gid = grec[:, 3]
 
     # Stable sort by tile key; depth order is preserved within each tile.
-    key_sorted, gid_sorted = jax.lax.sort(
-        (tile_key, pair_gid), num_keys=1, is_stable=True)
+    # The third operand carries the expansion-order pair index so the
+    # gradient path can invert the slot permutation.
+    key_sorted, gid_sorted, p_sorted = jax.lax.sort(
+        (tile_key, pair_gid, slots), num_keys=1, is_stable=True)
 
     # Per-tile true counts and CHUNK-aligned starts.
     tiles = jnp.arange(T, dtype=jnp.int32)
@@ -155,10 +166,18 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     slot_valid = gid1 > 0
     gid = jnp.maximum(gid1 - 1, 0)
 
+    # expansion pair index → final slot (dropped pairs map to P_alloc)
+    inv = jnp.full((P_alloc,), P_alloc, jnp.int32).at[p_sorted].set(
+        new_slot, mode="drop")
+    seg_start = jnp.minimum(starts, pairs_capacity)
+    seg_end = jnp.minimum(cum, pairs_capacity)
+
     return BinningOut(
         gid=gid, slot_valid=slot_valid,
         tile_start=aligned_start, tile_count=tile_count,
         num_pairs=num_pairs, overflow=overflow,
+        inv=inv, seg_start=seg_start, seg_end=seg_end,
+        order=g_order.astype(jnp.int32),
     )
 
 
