@@ -94,3 +94,20 @@ def test_stub_edit_noise_calibration_runs():
                            backend="stub")
     edited = ip2p.edit_image(None, rendered, original, noise)
     assert np.isfinite(np.asarray(edited)).all()
+
+
+def test_pipeline_config_builds_editor():
+    from gs2d_tpu.ig2g.pipeline import IG2GPipelineConfig, build_editor
+
+    cfg = IG2GPipelineConfig(text_prompt="make it snowy",
+                             noise_type="rendered",
+                             guidance_scale=9.0,
+                             diffusion_steps=5)
+    ed = build_editor(cfg)
+    assert isinstance(ed, InstructPix2Pix)
+    # pipeline-level knobs must flow into the editor params
+    assert ed.p.noise_type == "rendered"
+    assert ed.p.guidance_scale == 9.0
+    assert ed.p.diffusion_steps == 5
+    # schedule defaults mirror the reference IDU cadence
+    assert cfg.ip2p_start_iter == 20_000 and cfg.ip2p_cycle_iter == 2_500
