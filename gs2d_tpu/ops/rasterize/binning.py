@@ -85,19 +85,22 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     depth_key = jnp.where(visible, depth, jnp.inf)
     g_order = jnp.argsort(depth_key, stable=True)          # (N,) front→back
 
-    cx = center2d[g_order, 0]
-    cy = center2d[g_order, 1]
-    ex = extent[g_order, 0]
-    ey = extent[g_order, 1]
-    vis = visible[g_order]
-
-    tx0 = jnp.clip(jnp.floor((cx - ex) / TILE_W).astype(jnp.int32), 0, ntx)
-    tx1 = jnp.clip((jnp.floor((cx + ex) / TILE_W) + 1).astype(jnp.int32), 0, ntx)
-    ty0 = jnp.clip(jnp.floor((cy - ey) / TILE_H).astype(jnp.int32), 0, nty)
-    ty1 = jnp.clip((jnp.floor((cy + ey) / TILE_H) + 1).astype(jnp.int32), 0, nty)
-    rw = jnp.maximum(tx1 - tx0, 0)
-    rh = jnp.maximum(ty1 - ty0, 0)
-    counts = jnp.where(vis, rw * rh, 0)                    # (N,)
+    # Tile rects elementwise in ORIGINAL order, then ONE packed row-gather
+    # into depth order (several separate 1-D gathers cost ~1 ms each on
+    # v5e; a multi-column row gather is nearly free).
+    cx0, cy0 = center2d[:, 0], center2d[:, 1]
+    ex0, ey0 = extent[:, 0], extent[:, 1]
+    tx0 = jnp.clip(jnp.floor((cx0 - ex0) / TILE_W).astype(jnp.int32), 0, ntx)
+    tx1 = jnp.clip((jnp.floor((cx0 + ex0) / TILE_W) + 1).astype(jnp.int32),
+                   0, ntx)
+    ty0 = jnp.clip(jnp.floor((cy0 - ey0) / TILE_H).astype(jnp.int32), 0, nty)
+    ty1 = jnp.clip((jnp.floor((cy0 + ey0) / TILE_H) + 1).astype(jnp.int32),
+                   0, nty)
+    rw0 = jnp.maximum(tx1 - tx0, 0)
+    rh0 = jnp.maximum(ty1 - ty0, 0)
+    rtab = jnp.stack([jnp.where(visible, rw0 * rh0, 0), rw0,
+                      ty0 * ntx + tx0], axis=1)[g_order]    # (N, 3)
+    counts, rw, tile0 = rtab[:, 0], rtab[:, 1], rtab[:, 2]
 
     cum = jnp.cumsum(counts)                               # inclusive
     total = cum[-1]
@@ -118,7 +121,6 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     gidx_c = jnp.minimum(gidx, N - 1)
 
     # ONE packed row-gather for all per-slot Gaussian attributes.
-    tile0 = ty0 * ntx + tx0
     gtab = jnp.stack([starts, jnp.maximum(rw, 1), tile0,
                       g_order.astype(jnp.int32)], axis=1)   # (N, 4)
     grec = gtab[gidx_c]                                     # (P, 4)
@@ -152,6 +154,12 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
 
     # Scatter entries to aligned slots — per-slot tile attributes again via
     # ONE packed row-gather (left, aligned_start, aligned_end).
+    # NOTE (measured, v5e 2026-08-17): a scatter-free routing variant
+    # (T-sized scatter + cummax ownership + row gathers, with the gradient
+    # reorder as a 25-operand stable sort) looked ~7 ms cheaper on paper,
+    # but in composition it ran SLOWER (fwd 54 ms vs 44 ms) and its
+    # backward block blew XLA compile time from ~40 s to >15 min. The two
+    # P-sized scatter-sets below are the fast-compiling, fast-running form.
     ttab = jnp.stack([left, aligned_start, aligned_start + tile_count],
                      axis=1)                                # (T, 3)
     trec = ttab[jnp.minimum(key_sorted, T - 1)]             # (P, 3)

@@ -54,10 +54,15 @@ def run(W, H, N, pairs_cap, label):
 
     @jax.jit
     def step_bin(args):
+        # consume ALL binning outputs (sampled) — summing only num_pairs
+        # lets XLA dead-code-eliminate the whole sort/route pipeline and
+        # misattribute its cost to the first consumer.
         pre = pre_raw(*args)
         bins = bin_gaussians(pre.center2d, pre.extent, pre.depth,
                              pre.visible, W, H, pairs_cap, 128)
-        return chain(bins.num_pairs.astype(jnp.float32), args)
+        s = (jnp.sum(bins.gid[::4096]) + jnp.sum(bins.inv[::4096]) +
+             jnp.sum(bins.tile_start[::64]) + jnp.sum(bins.tile_count[::64]))
+        return chain(s.astype(jnp.float32), args)
 
     @jax.jit
     def step_gather(args):
@@ -65,7 +70,9 @@ def run(W, H, N, pairs_cap, label):
         bins = bin_gaussians(pre.center2d, pre.extent, pre.depth,
                              pre.visible, W, H, pairs_cap, 128)
         entries = pack_entries(pre)[bins.gid].T
-        return chain(jnp.sum(entries[:, :128]), args)
+        return chain(jnp.sum(entries[:, ::4096]) +
+                     jnp.sum(bins.inv[::4096]).astype(jnp.float32),
+                     args)
 
     @jax.jit
     def step_fwd(args):
