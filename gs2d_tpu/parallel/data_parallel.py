@@ -1,18 +1,21 @@
 """Pixel-sharded rendering over a device mesh.
 
-Design (SURVEY.md §5.7/§5.8 TPU-native counterpart): Gaussians are
-replicated; the image is sharded into horizontal tile-row bands, one per
-device along the mesh's ``data`` axis. Only the rasterizer core runs under
-``jax.shard_map`` — each device bins and composites its own band (the
-homography coefficients are pixel-linear, so a band is just a viewport
-shift of A by y0·C). Everything around it — SSIM windows that straddle
-band boundaries, loss reductions, and the parameter-gradient all-reduce
-(the ``psum`` over ICI) — is left to GSPMD/XLA partitioning, which inserts
-halo exchanges and collectives automatically from the output sharding.
+Design (SURVEY.md §5.7/§5.8 TPU-native counterpart): the image is sharded
+into horizontal tile-row bands, one per device along the mesh axes. Only
+the rasterizer core runs under ``jax.shard_map`` — each device bins and
+composites its own band (the homography coefficients are pixel-linear, so
+a band is just a viewport shift of A by y0·C). Everything around it —
+SSIM windows that straddle band boundaries, loss reductions, and the
+parameter-gradient all-reduce (the ``psum`` over ICI) — is left to
+GSPMD/XLA partitioning, which inserts halo exchanges and collectives
+automatically from the output sharding.
 
 This is the 2D-rendering analog of context parallelism: "sequence length"
 here is pixel count, and the VJP of the replicated-Gaussian gather is the
-gradient all-reduce.
+gradient all-reduce. Whether the Gaussian records arrive replicated or
+sharded along a ``gauss`` axis (gaussian_parallel.py phase B) is decided
+by the caller's sharding constraints; the shard_map boundary all-gathers
+either way.
 """
 
 from __future__ import annotations
@@ -45,12 +48,22 @@ def shift_viewport(pre: PreprocessOut, y0) -> PreprocessOut:
 
 
 def rasterize_sharded(pre: PreprocessOut, cfg: RasterizeConfig, mesh,
-                      axis: str = "data") -> Tuple[jnp.ndarray, dict]:
-    """Full-image rasterization with row-band sharding over ``mesh[axis]``.
+                      axis=None) -> Tuple[jnp.ndarray, dict]:
+    """Full-image rasterization with row-band sharding over ``mesh``.
 
-    Returns ((NUM_OUT, H, W) image sharded along H, aux dict).
+    ``axis`` may be one axis name, a tuple of axis names, or None for ALL
+    mesh axes — with a 2-D ("gauss", "data") mesh the image splits into
+    gauss·data bands, so every chip rasterizes pixels even when the
+    parameter axis exists only for memory sharding (see
+    gaussian_parallel.py). Returns ((NUM_OUT, H, W) image sharded along H,
+    aux dict).
     """
-    n = mesh.shape[axis]
+    if axis is None:
+        axis = mesh.axis_names
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
     assert cfg.height % (n * TILE_H) == 0, (
         f"height {cfg.height} must be a multiple of {n}*{TILE_H}")
     hb = cfg.height // n
@@ -64,8 +77,8 @@ def rasterize_sharded(pre: PreprocessOut, cfg: RasterizeConfig, mesh,
 
     out, pairs, overflow = jax.shard_map(
         band, mesh=mesh,
-        in_specs=(P(), P(axis)),
-        out_specs=(P(None, axis, None), P(axis), P(axis)),
+        in_specs=(P(), P(axes)),
+        out_specs=(P(None, axes, None), P(axes), P(axes)),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )(pre, y0s)
     return out, {"num_pairs": jnp.sum(pairs),

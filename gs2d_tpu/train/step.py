@@ -44,11 +44,16 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
                     depth_ratio: float = 0.0,
                     mesh=None):
     """Builds the jitted step fn (recompiles per capacity bucket)."""
+    from ..parallel.gaussian_parallel import shard_capacity_tree
 
     @jax.jit
     def train_step(ts: TrainState, camera, gt_image, iteration, bg):
         gs = ts.gaussians
         cap = gs.capacity
+        # phase-B parameter sharding: slot-capacity arrays live split along
+        # the mesh's "gauss" axis (no-op otherwise — same program)
+        gs = dataclasses.replace(
+            gs, params=shard_capacity_tree(gs.params, mesh))
         # SH degree ramp: +1 every 1000 iterations (train.py:61-62)
         gs = dataclasses.replace(
             gs, active_sh_degree=jnp.minimum(
@@ -81,9 +86,11 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
             }
             return total, aux
 
-        offsets0 = jnp.zeros((cap, 2), jnp.float32)
+        offsets0 = shard_capacity_tree(jnp.zeros((cap, 2), jnp.float32),
+                                       mesh)
         (total, aux), (gparams, goff) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(gs.params, offsets0)
+        gparams = shard_capacity_tree(gparams, mesh)
 
         xyz_lr = expon_lr(
             iteration,
@@ -98,10 +105,18 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
                        rotation_lr=opt_cfg.rotation_lr)
         new_params, new_opt = adam_step(gs.params, gparams, ts.opt, lrs,
                                         gs.active)
+        new_params = shard_capacity_tree(new_params, mesh)
+        new_opt = shard_capacity_tree(new_opt, mesh)
 
         gs = dataclasses.replace(gs, params=new_params)
         gs = add_densification_stats(gs, goff, aux["radii"],
                                      rcfg.width, rcfg.height)
+        # keep the densify-stat arrays on the same shards as the params
+        gs = dataclasses.replace(
+            gs,
+            max_radii2d=shard_capacity_tree(gs.max_radii2d, mesh),
+            grad_accum=shard_capacity_tree(gs.grad_accum, mesh),
+            denom=shard_capacity_tree(gs.denom, mesh))
 
         metrics = {
             "total_loss": total, "l1": aux["l1"], "ssim": aux["ssim"],

@@ -93,3 +93,42 @@ def test_dp_train_step_matches_single():
     np.testing.assert_allclose(
         np.asarray(tsn.gaussians.grad_accum),
         np.asarray(ts1.gaussians.grad_accum), rtol=1e-3, atol=1e-6)
+
+
+def test_gauss_sharded_train_step_matches_single():
+    """Phase B: 2-D (gauss=2, data=4) mesh — params/Adam/densify stats
+    sharded along the Gaussian axis, image banded over ALL 8 devices —
+    must reproduce the single-device step."""
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("gauss", "data"))
+    cam = lookat_camera(width=128, height=128)
+    means, scales, quats, opac, rgb, _ = random_cloud(
+        40, 3, spread=0.8, scale_lo=0.1, scale_hi=0.3)
+    state = init_from_pcd(means, rgb, 64, init_scales=np.log(scales))
+    gt = jnp.asarray(
+        np.random.default_rng(0).random((3, 128, 128)).astype(np.float32))
+    bg = jnp.zeros((3,), jnp.float32)
+    cfg = RasterizeConfig(width=128, height=128, pairs_capacity=1 << 13,
+                          chunk=16, interpret=True)
+    opt_cfg = OptimizationParams()
+
+    step_1 = make_train_step(cfg, opt_cfg)
+    step_g = make_train_step(cfg, opt_cfg, mesh=mesh)
+    ts0 = TrainState(gaussians=state, opt=init_adam(state.params),
+                     key=jax.random.PRNGKey(0))
+    ts1, m1 = step_1(ts0, cam, gt, jnp.int32(4000), bg)
+    tsg, mg = step_g(ts0, cam, gt, jnp.int32(4000), bg)
+
+    assert abs(float(m1["total_loss"]) - float(mg["total_loss"])) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(tsg.gaussians.params.xyz),
+        np.asarray(ts1.gaussians.params.xyz), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tsg.opt.mu.xyz),
+        np.asarray(ts1.opt.mu.xyz), rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(tsg.gaussians.grad_accum),
+        np.asarray(ts1.gaussians.grad_accum), rtol=1e-3, atol=1e-6)
+    # the update really ran sharded: params land split along "gauss"
+    sh = tsg.gaussians.params.xyz.sharding
+    assert getattr(sh, "spec", None) is not None and sh.spec[0] == "gauss"
