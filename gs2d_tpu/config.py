@@ -64,6 +64,7 @@ class RuntimeParams:
     interpret: bool = False           # Pallas interpreter (CPU tests)
     seed: int = 0
     devices: int = 1                  # data-parallel devices (pixel shard)
+    gt_cache_budget: int = 4 << 30    # device-resident GT image cache (B)
 
 
 def save_cfg_args(path: str, model: ModelParams, pipe: PipelineParams,

@@ -84,6 +84,8 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
     ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0}
     stack: List[int] = []
     rng = random.Random(rt.seed)
+    gt_cache = {}
+    gt_cache_bytes = [0]
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
@@ -94,8 +96,17 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
             jax.profiler.stop_trace()
         if not stack:
             stack = list(range(len(cams)))
-        cam_data = cams[stack.pop(rng.randrange(len(stack)))]
-        gt = jnp.asarray(cam_data.image)
+        cam_idx = stack.pop(rng.randrange(len(stack)))
+        cam_data = cams[cam_idx]
+        # keep ground-truth images device-resident across epochs (a fresh
+        # jnp.asarray re-uploads ~25 MB per 1080p view every iteration;
+        # the budget falls back to streaming for datasets larger than HBM)
+        gt = gt_cache.get(cam_idx)
+        if gt is None:
+            gt = jnp.asarray(cam_data.image)
+            if gt_cache_bytes[0] + gt.nbytes <= rt.gt_cache_budget:
+                gt_cache[cam_idx] = gt
+                gt_cache_bytes[0] += gt.nbytes
 
         ts, metrics = step_for(cam_data.camera)(
             ts, cam_data.camera, gt, jnp.int32(iteration), bg)
@@ -137,24 +148,29 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
                 ts = TrainState(gaussians=gs_new, opt=opt_new, key=ts.key)
 
         # Host syncs are expensive (each device→host pull round-trips the
-        # runtime); only materialize metrics on the logging cadence.
+        # runtime, ~40 ms on tunneled backends); only materialize metrics
+        # on the logging cadence, and in ONE batched device_get — five
+        # separate float()/bool() pulls cost five round trips.
         if iteration % 10 == 0:
-            if bool(metrics["overflow"]):
+            m = jax.device_get({k: metrics[k] for k in (
+                "overflow", "loss", "dist_loss", "normal_loss",
+                "num_points")})
+            if bool(m["overflow"]):
                 pairs_capacity *= 2
                 step_fns.clear()
                 if log_fn:
                     log_fn(iteration,
                            {"event": f"pairs_capacity → {pairs_capacity}"})
-            ema["loss"] = 0.4 * float(metrics["loss"]) + 0.6 * ema["loss"]
-            ema["dist"] = (0.4 * float(metrics["dist_loss"])
+            ema["loss"] = 0.4 * float(m["loss"]) + 0.6 * ema["loss"]
+            ema["dist"] = (0.4 * float(m["dist_loss"])
                            + 0.6 * ema["dist"])
-            ema["normal"] = (0.4 * float(metrics["normal_loss"])
+            ema["normal"] = (0.4 * float(m["normal_loss"])
                              + 0.6 * ema["normal"])
             if log_fn:
                 log_fn(iteration, {
                     "loss": ema["loss"], "dist": ema["dist"],
                     "normal": ema["normal"],
-                    "points": int(metrics["num_points"]),
+                    "points": int(m["num_points"]),
                     "elapsed_s": time.time() - t_start,
                 })
         if report_fn and iteration in test_iterations:
