@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gs2d_tpu.ops.rasterize.api import RasterizeConfig, rasterize
+from gs2d_tpu.ops.rasterize.api import (RasterizeConfig, rasterize,
+                                        suggest_pairs_capacity)
 from gs2d_tpu.ops.rasterize.preprocess import preprocess
 from gs2d_tpu.scene.cameras import make_camera
 
@@ -39,8 +40,13 @@ def main():
     fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
     cam = make_camera(np.eye(3), np.array([0.0, 0.0, 4.0]), fovx, fovy, W, H)
     means, scales, quats, opac, rgb = build_scene()
-    cfg = RasterizeConfig(width=W, height=H, pairs_capacity=1 << 20,
-                          chunk=128)
+    # auto-tune the slot capacity: one probe binning → tight allocation
+    # (every capacity-proportional binning/gather/backward cost shrinks)
+    probe = jax.jit(lambda m, s, q, o: preprocess(
+        m, s, q, o, cam.world_view, cam.full_proj, cam.campos, W, H))(
+        means, scales, quats, opac)
+    cap = suggest_pairs_capacity(probe, W, H)
+    cfg = RasterizeConfig(width=W, height=H, pairs_capacity=cap, chunk=128)
     cot = jnp.ones((15, H, W), jnp.float32)
 
     def loss(means, scales, quats, opac, rgb):

@@ -179,6 +179,20 @@ def _core_bwd(cfg, res, g):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
+def suggest_pairs_capacity(pre: PreprocessOut, width: int, height: int,
+                           chunk: int = 128, slack: float = 1.1,
+                           probe_capacity: int = 1 << 22) -> int:
+    """One probe binning at a generous capacity → a tight, chunk-aligned
+    ``pairs_capacity`` for this scene/view. Every capacity-proportional
+    cost (the tile-key sort, both slot scatters, the expansion gather, and
+    the backward's d_entries traffic) shrinks with it — a power-of-two
+    bucket typically overshoots the padded need by 25-90%."""
+    bins = bin_gaussians(pre.center2d, pre.extent, pre.depth, pre.visible,
+                         width, height, probe_capacity, chunk)
+    need = int(bins.padded_total)
+    return max(pad_to(int(need * slack), chunk), chunk)
+
+
 def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
     """Rasterize preprocessed Gaussians.
 

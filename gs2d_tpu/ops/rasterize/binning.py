@@ -41,6 +41,7 @@ class BinningOut(NamedTuple):
     tile_start: jnp.ndarray  # (T,) int32 CHUNK-aligned start slot per tile
     tile_count: jnp.ndarray  # (T,) int32 true entry count per tile
     num_pairs: jnp.ndarray   # () int32 total real pairs (pre-clamp)
+    padded_total: jnp.ndarray  # () int32 chunk-padded slot need (true demand)
     overflow: jnp.ndarray    # () bool — capacity exceeded, tails dropped
     # Gradient-reduction side tables: expansion order (pairs grouped
     # contiguously per depth-sorted Gaussian) → binned slot. The gather
@@ -147,7 +148,8 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     padded = cdiv_arr(tile_count, chunk) * chunk
     aligned_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
-    overflow = ((aligned_start[-1] + padded[-1]) > P_alloc) | (total > pairs_capacity)  # noqa: E501 — padded total is the binding constraint
+    padded_total = aligned_start[-1] + padded[-1]   # chunk-padded slot need
+    overflow = (padded_total > P_alloc) | (total > pairs_capacity)
     # Clamp so every tile's padded range fits inside the allocation.
     avail = jnp.maximum(P_alloc - aligned_start, 0)
     tile_count = jnp.minimum(tile_count, avail)
@@ -183,7 +185,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     return BinningOut(
         gid=gid, slot_valid=slot_valid,
         tile_start=aligned_start, tile_count=tile_count,
-        num_pairs=num_pairs, overflow=overflow,
+        num_pairs=num_pairs, padded_total=padded_total, overflow=overflow,
         inv=inv, seg_start=seg_start, seg_end=seg_end,
         order=g_order.astype(jnp.int32),
     )

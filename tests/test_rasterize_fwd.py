@@ -92,3 +92,47 @@ def test_pallas_heavy_occlusion_early_exit():
     assert not bool(aux["overflow"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_all_culled_scene_renders_empty():
+    """Every Gaussian behind the camera: alpha 0 everywhere, no NaNs
+    (the empty-tile path exercises zero-chunk DMA loops). The camera sits
+    at world z=-4 looking toward +z, so z=-50 is behind it."""
+    cam = lookat_camera(width=64, height=32)
+    means = jnp.asarray(np.full((16, 3), [0.0, 0.0, -50.0], np.float32))
+    scales = jnp.full((16, 2), 0.1, jnp.float32)
+    quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (16, 1))
+    opac = jnp.full((16,), 0.9, jnp.float32)
+    rgb = jnp.full((16, 3), 0.5, jnp.float32)
+    pre = preprocess(means, scales, quats, opac, cam.world_view,
+                     cam.full_proj, cam.campos, 64, 32, colors=rgb)
+    cfg = RasterizeConfig(width=64, height=32, pairs_capacity=1 << 10,
+                          chunk=16, interpret=True)
+    out, aux = rasterize(pre, cfg)
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    np.testing.assert_allclose(o[4], 0.0, atol=1e-7)   # alpha
+    np.testing.assert_allclose(o[0:3], 0.0, atol=1e-7)  # rgb
+    assert int(aux["num_pairs"]) == 0
+
+
+def test_suggest_pairs_capacity_tight_and_sufficient():
+    from gs2d_tpu.ops.rasterize.api import suggest_pairs_capacity
+    cam = lookat_camera(width=128, height=64)
+    means, scales, quats, opac, rgb, noise = random_cloud(200, 1)
+    pre = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                     jnp.asarray(quats), jnp.asarray(opac),
+                     cam.world_view, cam.full_proj, cam.campos, 128, 64,
+                     colors=jnp.asarray(rgb))
+    cap = suggest_pairs_capacity(pre, 128, 64, chunk=16,
+                                 probe_capacity=1 << 14)
+    assert cap % 16 == 0
+    cfg = RasterizeConfig(width=128, height=64, pairs_capacity=cap,
+                          chunk=16, interpret=True)
+    out, aux = rasterize(pre, cfg)
+    assert not bool(aux["overflow"])
+    # tight: within 2x of the padded demand measured by a huge-capacity run
+    from gs2d_tpu.ops.rasterize.binning import bin_gaussians
+    bins = bin_gaussians(pre.center2d, pre.extent, pre.depth, pre.visible,
+                         128, 64, 1 << 14, 16)
+    assert cap <= 2 * int(bins.padded_total) + 16
