@@ -65,6 +65,7 @@ class RuntimeParams:
     seed: int = 0
     devices: int = 1                  # data-parallel devices (pixel shard)
     gt_cache_budget: int = 4 << 30    # device-resident GT image cache (B)
+    pairs_capacity_auto: bool = True  # one-shot downward capacity fit @100
 
 
 def save_cfg_args(path: str, model: ModelParams, pipe: PipelineParams,

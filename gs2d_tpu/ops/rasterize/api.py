@@ -202,7 +202,8 @@ def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
     """
     if cfg.impl == "oracle":
         out = rasterize_oracle(pre, cfg.width, cfg.height)
-        return out, {"num_pairs": jnp.int32(-1), "overflow": jnp.bool_(False)}
+        return out, {"num_pairs": jnp.int32(-1), "overflow": jnp.bool_(False),
+                    "padded_total": jnp.int32(-1)}
 
     bins: BinningOut = bin_gaussians(
         pre.center2d, pre.extent, pre.depth, pre.visible,
@@ -217,4 +218,5 @@ def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
                       bins.seg_end, bins.order,
                       bins.tile_start, bins.tile_count)
     out = untile(out_tiles, cfg.width, cfg.height)
-    return out, {"num_pairs": bins.num_pairs, "overflow": bins.overflow}
+    return out, {"num_pairs": bins.num_pairs, "overflow": bins.overflow,
+                 "padded_total": bins.padded_total}

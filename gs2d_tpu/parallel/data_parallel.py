@@ -73,13 +73,16 @@ def rasterize_sharded(pre: PreprocessOut, cfg: RasterizeConfig, mesh,
     def band(pre_rep, y0):
         pre_b = shift_viewport(pre_rep, y0[0])
         out, aux = rasterize(pre_b, cfg_band)
-        return out, aux["num_pairs"][None], aux["overflow"][None]
+        return (out, aux["num_pairs"][None], aux["overflow"][None],
+                aux["padded_total"][None])
 
-    out, pairs, overflow = jax.shard_map(
+    out, pairs, overflow, padded = jax.shard_map(
         band, mesh=mesh,
         in_specs=(P(), P(axes)),
-        out_specs=(P(None, axes, None), P(axes), P(axes)),
+        out_specs=(P(None, axes, None), P(axes), P(axes), P(axes)),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )(pre, y0s)
+    # the per-band capacity is what must cover the demand → max, not sum
     return out, {"num_pairs": jnp.sum(pairs),
-                 "overflow": jnp.any(overflow)}
+                 "overflow": jnp.any(overflow),
+                 "padded_total": jnp.max(padded)}

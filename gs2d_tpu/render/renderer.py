@@ -93,4 +93,5 @@ def render(camera: Camera, state: GaussianState, cfg: RasterizeConfig,
         "visibility_filter": pre.radii > 0,
         "num_pairs": aux["num_pairs"],
         "overflow": aux["overflow"],
+        "padded_total": aux["padded_total"],
     }

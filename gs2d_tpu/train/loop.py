@@ -86,6 +86,7 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
     rng = random.Random(rt.seed)
     gt_cache = {}
     gt_cache_bytes = [0]
+    max_padded = 0
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
@@ -154,7 +155,22 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
         if iteration % 10 == 0:
             m = jax.device_get({k: metrics[k] for k in (
                 "overflow", "loss", "dist_loss", "normal_loss",
-                "num_points")})
+                "num_points", "padded_total")})
+            max_padded = max(max_padded, int(m["padded_total"]))
+            # One-shot downward adaptation: small scenes don't pay big-scene
+            # binning costs (every slot-proportional op scales with the
+            # capacity). A single recompile at iter 100, 4x headroom for
+            # densification growth; overflow doubling still applies after.
+            if iteration == 100 and rt.pairs_capacity_auto:
+                tight = max(((4 * max_padded + rt.chunk - 1)
+                             // rt.chunk) * rt.chunk, rt.chunk)
+                if tight < pairs_capacity:
+                    pairs_capacity = tight
+                    step_fns.clear()
+                    if log_fn:
+                        log_fn(iteration,
+                               {"event":
+                                f"pairs_capacity ↓ {pairs_capacity}"})
             if bool(m["overflow"]):
                 pairs_capacity *= 2
                 step_fns.clear()

@@ -83,6 +83,7 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
                 "dist_loss": dist_loss, "normal_loss": normal_loss,
                 "radii": pkg["radii"], "overflow": pkg["overflow"],
                 "num_pairs": pkg["num_pairs"],
+                "padded_total": pkg["padded_total"],
             }
             return total, aux
 
@@ -124,6 +125,7 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
             "normal_loss": aux["normal_loss"],
             "num_points": gs.num_active(),
             "overflow": aux["overflow"], "num_pairs": aux["num_pairs"],
+            "padded_total": aux["padded_total"],
             "xyz_lr": xyz_lr,
         }
         return TrainState(gaussians=gs, opt=new_opt, key=ts.key), metrics
