@@ -35,5 +35,23 @@ import jax as _jax
 # choose their own precision explicitly.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: every CLI (train/render/metrics/view)
+# is its own process, and on remote-compile backends a cold 1080p step
+# compile runs 30 s-8 min — cache hits cut that to ~1 s. Opt out with
+# GS2D_NO_COMPILE_CACHE=1 or point GS2D_COMPILE_CACHE elsewhere.
+import os as _os
+
+if not _os.environ.get("GS2D_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "GS2D_COMPILE_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "gs2d_tpu",
+                      "xla_cache"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except OSError:
+        pass  # read-only home: run without the cache
+
 
 __version__ = "0.1.0"
