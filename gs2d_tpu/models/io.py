@@ -103,6 +103,48 @@ def save_checkpoint(path: str, state: GaussianState, opt: AdamState,
         spatial_lr_scale=np.float64(spatial_lr_scale))
 
 
+def save_checkpoint_orbax(path: str, state: GaussianState, opt: AdamState,
+                          iteration: int,
+                          spatial_lr_scale: float = 1.0) -> None:
+    """Orbax pytree checkpoint (SURVEY.md §5.4 TPU equivalent).
+
+    Unlike the npz format, sharded arrays (phase-B ``gauss``-axis
+    parameter sharding, multi-host pods) are written per-shard in
+    parallel without gathering to one host — use this on pods; npz stays
+    the dependency-light single-host default."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), {
+            "state": dataclasses.asdict(state),
+            "opt": dataclasses.asdict(opt),
+            "iteration": iteration,
+            "spatial_lr_scale": spatial_lr_scale,
+        })
+
+
+def load_checkpoint_orbax(path: str, sharding_fn=None
+                          ) -> Tuple[GaussianState, AdamState, int, float]:
+    """Restore an Orbax checkpoint. ``sharding_fn(leaf_path, arr_meta)``
+    may return a ``jax.sharding.Sharding`` per leaf to restore shards
+    directly to their devices; None restores addressable-process-local."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.abspath(path))
+    state = GaussianState(
+        params=GaussianParams(**raw["state"]["params"]),
+        active=raw["state"]["active"],
+        active_sh_degree=raw["state"]["active_sh_degree"],
+        max_radii2d=raw["state"]["max_radii2d"],
+        grad_accum=raw["state"]["grad_accum"],
+        denom=raw["state"]["denom"])
+    opt = AdamState(mu=GaussianParams(**raw["opt"]["mu"]),
+                    nu=GaussianParams(**raw["opt"]["nu"]),
+                    step=raw["opt"]["step"])
+    return state, opt, int(raw["iteration"]), float(raw["spatial_lr_scale"])
+
+
 def load_checkpoint(path: str) -> Tuple[GaussianState, AdamState, int, float]:
     z = np.load(path)
 

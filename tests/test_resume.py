@@ -2,6 +2,7 @@
 reproduce the exact same trajectory as uninterrupted training."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,3 +53,40 @@ def test_checkpoint_resume_bitexact(tmp_path):
                                   np.asarray(ts_c.gaussians.params.xyz))
     np.testing.assert_array_equal(np.asarray(ts_a.opt.mu.scaling),
                                   np.asarray(ts_c.opt.mu.scaling))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax pytree checkpoint: bit-exact roundtrip, including params
+    sharded along a gauss mesh axis (the pod-checkpoint path)."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from gs2d_tpu.models.gaussians import init_from_pcd
+    from gs2d_tpu.models.io import (load_checkpoint_orbax,
+                                    save_checkpoint_orbax)
+    from gs2d_tpu.train.optim import init_adam
+
+    rng = np.random.default_rng(0)
+    state = init_from_pcd(rng.random((40, 3)).astype(np.float32),
+                          rng.random((40, 3)).astype(np.float32), 64)
+    # shard the capacity axis over 8 devices before saving
+    mesh = Mesh(np.array(jax.devices()[:8]), ("gauss",))
+    sh = NamedSharding(mesh, P("gauss"))
+    state = dataclasses.replace(
+        state, params=jax.tree.map(lambda x: jax.device_put(x, sh),
+                                   state.params))
+    opt = init_adam(state.params)
+    path = os.path.join(tmp_path, "orbax_ckpt")
+    save_checkpoint_orbax(path, state, opt, iteration=123,
+                          spatial_lr_scale=2.5)
+    st2, opt2, it2, slr2 = load_checkpoint_orbax(path)
+    assert it2 == 123 and slr2 == 2.5
+    np.testing.assert_array_equal(np.asarray(st2.params.xyz),
+                                  np.asarray(state.params.xyz))
+    np.testing.assert_array_equal(np.asarray(st2.active),
+                                  np.asarray(state.active))
+    np.testing.assert_array_equal(np.asarray(opt2.mu.scaling),
+                                  np.asarray(opt.mu.scaling))
+    assert int(opt2.step) == int(opt.step)
