@@ -62,7 +62,7 @@ class IG2GPipelineConfig:
     image_size: Tuple[int, int] = (512, 512)
 
 
-def build_editor(cfg: IG2GPipelineConfig, device=None):
+def build_editor(cfg: IG2GPipelineConfig):
     """Instantiate the configured editor backend (stub or diffusers)."""
     from .ip2p import InstructPix2Pix
 

@@ -115,23 +115,37 @@ def save_checkpoint_orbax(path: str, state: GaussianState, opt: AdamState,
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
+        # force=True: re-hitting a checkpoint iteration (resume crossing
+        # its own save point) must overwrite like the npz path does
         ckptr.save(os.path.abspath(path), {
             "state": dataclasses.asdict(state),
             "opt": dataclasses.asdict(opt),
             "iteration": iteration,
             "spatial_lr_scale": spatial_lr_scale,
-        })
+        }, force=True)
 
 
-def load_checkpoint_orbax(path: str, sharding_fn=None
+def load_checkpoint_orbax(path: str, capacity_sharding=None
                           ) -> Tuple[GaussianState, AdamState, int, float]:
-    """Restore an Orbax checkpoint. ``sharding_fn(leaf_path, arr_meta)``
-    may return a ``jax.sharding.Sharding`` per leaf to restore shards
-    directly to their devices; None restores addressable-process-local."""
+    """Restore an Orbax checkpoint.
+
+    ``capacity_sharding``: optional ``jax.sharding.Sharding`` applied to
+    every capacity-sized array (params, moments, masks, stats) so a pod
+    restore lands on its device shards. The restore itself is host-local
+    first (each process transiently holds a full host copy before the
+    device_put shards it) — host RAM, not HBM, bounds the transient.
+    None keeps everything host-local.
+    """
+    import jax
     import orbax.checkpoint as ocp
 
+    apath = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        raw = ckptr.restore(os.path.abspath(path))
+        raw = ckptr.restore(apath)
+    if capacity_sharding is not None:
+        raw = jax.tree.map(
+            lambda x: jax.device_put(x, capacity_sharding)
+            if getattr(x, "ndim", 0) >= 1 else x, raw)
     state = GaussianState(
         params=GaussianParams(**raw["state"]["params"]),
         active=raw["state"]["active"],

@@ -186,9 +186,21 @@ def suggest_pairs_capacity(pre: PreprocessOut, width: int, height: int,
     ``pairs_capacity`` for this scene/view. Every capacity-proportional
     cost (the tile-key sort, both slot scatters, the expansion gather, and
     the backward's d_entries traffic) shrinks with it — a power-of-two
-    bucket typically overshoots the padded need by 25-90%."""
-    bins = bin_gaussians(pre.center2d, pre.extent, pre.depth, pre.visible,
-                         width, height, probe_capacity, chunk)
+    bucket typically overshoots the padded need by 25-90%.
+
+    If the probe itself overflows, its padded_total is clamped and would
+    silently underestimate — re-probe at growing capacities until the
+    demand fits."""
+    for _ in range(8):
+        bins = bin_gaussians(pre.center2d, pre.extent, pre.depth,
+                             pre.visible, width, height, probe_capacity,
+                             chunk)
+        if not bool(bins.overflow):
+            break
+        probe_capacity *= 4
+    else:
+        raise ValueError(
+            f"pair demand still exceeds probe capacity {probe_capacity}")
     need = int(bins.padded_total)
     return max(pad_to(int(need * slack), chunk), chunk)
 

@@ -85,7 +85,7 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
     stack: List[int] = []
     rng = random.Random(rt.seed)
     gt_cache = {}
-    gt_cache_bytes = [0]
+    gt_cache_bytes = 0
     max_padded = 0
     t_start = time.time()
 
@@ -105,9 +105,9 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
         gt = gt_cache.get(cam_idx)
         if gt is None:
             gt = jnp.asarray(cam_data.image)
-            if gt_cache_bytes[0] + gt.nbytes <= rt.gt_cache_budget:
+            if gt_cache_bytes + gt.nbytes <= rt.gt_cache_budget:
                 gt_cache[cam_idx] = gt
-                gt_cache_bytes[0] += gt.nbytes
+                gt_cache_bytes += gt.nbytes
 
         ts, metrics = step_for(cam_data.camera)(
             ts, cam_data.camera, gt, jnp.int32(iteration), bg)

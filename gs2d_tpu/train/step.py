@@ -44,12 +44,14 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
                     depth_ratio: float = 0.0,
                     mesh=None):
     """Builds the jitted step fn (recompiles per capacity bucket)."""
-    from ..parallel.gaussian_parallel import shard_capacity_tree
+    from ..parallel.gaussian_parallel import (check_capacity,
+                                              shard_capacity_tree)
 
     @jax.jit
     def train_step(ts: TrainState, camera, gt_image, iteration, bg):
         gs = ts.gaussians
         cap = gs.capacity
+        check_capacity(cap, mesh)   # even gauss-axis shards (trace-time)
         # phase-B parameter sharding: slot-capacity arrays live split along
         # the mesh's "gauss" axis (no-op otherwise — same program)
         gs = dataclasses.replace(
@@ -106,12 +108,23 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
                        rotation_lr=opt_cfg.rotation_lr)
         new_params, new_opt = adam_step(gs.params, gparams, ts.opt, lrs,
                                         gs.active)
+        # On binning overflow the render dropped pair-list tails and the
+        # gradients are truncated — make the step a no-op ON DEVICE so no
+        # corrupt update lands during the (host-cadenced, up to 10 iters
+        # late) overflow detection + capacity regrowth.
+        ok = jnp.logical_not(aux["overflow"])
+        keep = lambda new, old: jax.tree.map(  # noqa: E731
+            lambda a, b: jnp.where(ok, a, b), new, old)
+        new_params = keep(new_params, gs.params)
+        new_opt = keep(new_opt, ts.opt)
         new_params = shard_capacity_tree(new_params, mesh)
         new_opt = shard_capacity_tree(new_opt, mesh)
 
         gs = dataclasses.replace(gs, params=new_params)
-        gs = add_densification_stats(gs, goff, aux["radii"],
-                                     rcfg.width, rcfg.height)
+        # radii=0 ⇒ "nothing visible": stats (incl. denom) don't accumulate
+        gs = add_densification_stats(
+            gs, goff, jnp.where(ok, aux["radii"], 0),
+            rcfg.width, rcfg.height)
         # keep the densify-stat arrays on the same shards as the params
         gs = dataclasses.replace(
             gs,

@@ -60,6 +60,8 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     sharded along a gauss mesh axis (the pod-checkpoint path)."""
     import numpy as np
     import jax
+    import pytest
+    pytest.importorskip("orbax.checkpoint")
     from jax.sharding import Mesh, NamedSharding
     from jax.sharding import PartitionSpec as P
 
@@ -83,6 +85,15 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                           spatial_lr_scale=2.5)
     st2, opt2, it2, slr2 = load_checkpoint_orbax(path)
     assert it2 == 123 and slr2 == 2.5
+    # overwrite at the same path must not raise (resume re-crossing a save)
+    save_checkpoint_orbax(path, state, opt, iteration=124,
+                          spatial_lr_scale=2.5)
+    # sharded restore: leaves land with the requested sharding
+    st3, opt3, it3, _ = load_checkpoint_orbax(path, capacity_sharding=sh)
+    assert it3 == 124
+    np.testing.assert_array_equal(np.asarray(st3.params.xyz),
+                                  np.asarray(state.params.xyz))
+    assert st3.params.xyz.sharding == sh
     np.testing.assert_array_equal(np.asarray(st2.params.xyz),
                                   np.asarray(state.params.xyz))
     np.testing.assert_array_equal(np.asarray(st2.active),
