@@ -136,3 +136,43 @@ def test_suggest_pairs_capacity_tight_and_sufficient():
     bins = bin_gaussians(pre.center2d, pre.extent, pre.depth, pre.visible,
                          128, 64, 1 << 14, 16)
     assert cap <= 2 * int(bins.padded_total) + 16
+
+
+def test_normal_maps_alignment_convention():
+    """rend_normal (splat normals composited in view space, rotated to
+    world) and surf_normal (depth-map cross products, alpha-weighted) must
+    FACE THE SAME WAY — the normal-consistency loss
+    1 − Σ_c rend·surf (train/step.py) only regularizes geometry if the two
+    conventions agree; a sign flip would push splats to 180° instead.
+    Flat wall facing the camera: positive dot, both pointing at the
+    camera (−z here)."""
+    from gs2d_tpu.models.gaussians import init_from_pcd
+    from gs2d_tpu.render.renderer import render
+
+    n = 14
+    g = np.linspace(-1.2, 1.2, n, dtype=np.float32)
+    xx, yy = np.meshgrid(g, g)
+    means = np.stack([xx.ravel(), yy.ravel(),
+                      np.zeros(n * n, np.float32)], -1)
+    rgb = np.full((n * n, 3), 0.7, np.float32)
+    state = init_from_pcd(
+        means, rgb, 256,
+        init_scales=np.log(np.full((n * n, 2), 0.35, np.float32)))
+    cam = lookat_camera(width=128, height=128)
+    cfg = RasterizeConfig(width=128, height=128, pairs_capacity=1 << 13,
+                          chunk=16, interpret=True)
+    pkg = render(cam, state, cfg, jnp.zeros(3))
+    a = np.asarray(pkg["rend_alpha"])[0]
+    rn = np.asarray(pkg["rend_normal"])
+    sn = np.asarray(pkg["surf_normal"])
+    inner = a > 0.3 * a.max()
+    inner[:2] = inner[-2:] = False
+    inner[:, :2] = inner[:, -2:] = False
+    assert inner.sum() > 1000
+    dot = (rn * sn).sum(0)[inner]
+    # aligned (positive) for ~every covered pixel, solidly on average
+    assert (dot > 0).mean() > 0.99
+    assert dot.mean() > 0.1
+    # both face the camera: camera looks toward +z, normals point −z
+    assert rn[2][inner].mean() < -0.1
+    assert sn[2][inner].mean() < -0.1

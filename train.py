@@ -69,6 +69,9 @@ def main():
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="jax_debug_nans: fail loudly at the first "
+                             "NaN-producing op (reference train.py:260)")
     parser.add_argument("--profile", type=str, default=None,
                         help="dump a jax.profiler trace to this dir "
                              "covering iterations 50-60")
@@ -81,6 +84,10 @@ def main():
     if not args.model_path:
         args.model_path = os.path.join("./output", str(uuid.uuid4())[:10])
     os.makedirs(args.model_path, exist_ok=True)
+
+    if args.detect_anomaly:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     model = ModelParams(sh_degree=args.sh_degree,
                         source_path=args.source_path,

@@ -183,14 +183,18 @@ def main():
                 ts = TrainState(gaussians=gs_new, opt=opt_new, key=ts.key)
 
         if iteration % 10 == 0:
-            bar.set_postfix(loss=f"{float(metrics['loss']):.5f}",
+            # ONE batched device→host pull (each float()/int() would
+            # round-trip the runtime separately, ~40 ms each on tunnels)
+            m = jax.device_get({k: metrics[k] for k in
+                                ("loss", "total_loss", "num_points")})
+            bar.set_postfix(loss=f"{float(m['loss']):.5f}",
                             edits=ip2p_iteration,
-                            points=int(metrics["num_points"]))
+                            points=int(m["num_points"]))
             if wandb_run is not None:
                 wandb_run.log({
-                    "train/loss": float(metrics["loss"]),
-                    "train/total_loss": float(metrics["total_loss"]),
-                    "train/points": int(metrics["num_points"]),
+                    "train/loss": float(m["loss"]),
+                    "train/total_loss": float(m["total_loss"]),
+                    "train/points": int(m["num_points"]),
                     "train/edits": ip2p_iteration,
                 }, step=iteration)
         if iteration == opt.iterations:
