@@ -43,6 +43,22 @@ def main():
     print(f"viewer server on {args.ip}:{args.port}")
     render_items = list(model.render_items)
 
+    # The render MUST be jitted: dispatching it eagerly sends every op
+    # through the runtime individually (measured 166 s/frame on a
+    # tunneled TPU vs ~10 ms jitted). One compile per resolution,
+    # cached — scaling_modifier stays a traced scalar.
+    import functools
+
+    import jax
+
+    @functools.lru_cache(maxsize=8)
+    def render_fn(width, height):
+        cfg = RasterizeConfig(width=width, height=height)
+        return jax.jit(lambda cam, st, bg, scaling: render(
+            cam, st, cfg, bg, max_sh_degree=model.sh_degree,
+            scaling_modifier=scaling, depth_ratio=pipe.depth_ratio))
+
+    num_active = int(state.num_active())
     while True:
         if gui.conn is None:
             gui.try_connect(render_items)
@@ -51,18 +67,16 @@ def main():
             cam, _, keep_alive, scaling, mode = gui.receive()
             img_bytes = None
             if cam is not None:
-                cfg = RasterizeConfig(width=cam.width, height=cam.height)
-                pkg = render(cam, state, cfg, bg,
-                             max_sh_degree=model.sh_degree,
-                             scaling_modifier=scaling,
-                             depth_ratio=pipe.depth_ratio)
+                pkg = render_fn(cam.width, cam.height)(
+                    cam, state, bg, jnp.float32(scaling))
                 net = render_net_image(pkg, render_items, mode, cam)
                 img = (np.clip(net, 0, 1) * 255).astype(np.uint8)
                 img_bytes = memoryview(
                     np.ascontiguousarray(img.transpose(1, 2, 0)))
             gui.send(img_bytes, model.source_path,
-                     {"#": int(state.num_active()), "loss": 0.0})
-        except Exception:
+                     {"#": num_active, "loss": 0.0})
+        except Exception as e:                     # noqa: BLE001
+            print(f"viewer connection dropped: {type(e).__name__}: {e}")
             gui.disconnect()
 
 
