@@ -43,29 +43,41 @@ class GaussianExtractor:
         self.clean()
 
     def clean(self):
+        if not hasattr(self, "_render_cache"):
+            self._render_cache = {}
         self.rgbmaps: List[np.ndarray] = []
         self.depthmaps: List[np.ndarray] = []
         self.alphamaps: List[np.ndarray] = []
         self.normalmaps: List[np.ndarray] = []
         self.viewpoints: List[CameraData] = []
 
+    def _render_fn(self, width: int, height: int):
+        """Jitted per-resolution renderer — eager dispatch sends every op
+        through the runtime individually (minutes/view on remote
+        backends); jitted it is one launch per view."""
+        import jax
+        key = (width, height)
+        fn = self._render_cache.get(key)
+        if fn is None:
+            cfg = RasterizeConfig(
+                width=width, height=height,
+                pairs_capacity=self.pairs_capacity, chunk=self.chunk,
+                interpret=self.interpret)
+            fn = jax.jit(lambda cam, st, bg: render(
+                cam, st, cfg, bg, max_sh_degree=self.max_sh_degree,
+                depth_ratio=self.depth_ratio))
+            self._render_cache[key] = fn
+        return fn
+
     def reconstruction(self, viewpoints: List[CameraData]):
         """Render every view and stash rgb / surf-depth / alpha / normal
         (reference :104-137)."""
         self.clean()
         self.viewpoints = list(viewpoints)
-        cfg_cache = {}
         for cam_data in viewpoints:
             cam = cam_data.camera
-            key = (cam.width, cam.height)
-            if key not in cfg_cache:
-                cfg_cache[key] = RasterizeConfig(
-                    width=cam.width, height=cam.height,
-                    pairs_capacity=self.pairs_capacity, chunk=self.chunk,
-                    interpret=self.interpret)
-            pkg = render(cam, self.state, cfg_cache[key], self.bg,
-                         max_sh_degree=self.max_sh_degree,
-                         depth_ratio=self.depth_ratio)
+            pkg = self._render_fn(cam.width, cam.height)(
+                cam, self.state, self.bg)
             self.rgbmaps.append(np.asarray(jnp.clip(pkg["render"], 0, 1)))
             self.depthmaps.append(np.asarray(pkg["surf_depth"]))
             self.alphamaps.append(np.asarray(pkg["rend_alpha"]))
