@@ -127,6 +127,13 @@ def main():
     stack = []
     ip2p_iteration = 0
     edit_every = max(int(args.ip2p_cycle_iter / max(len(cams), 1)), 1)
+
+    # jitted edit-phase render — eager dispatch round-trips the runtime
+    # per op (seconds/frame on remote backends); recompiles only when the
+    # Gaussian capacity bucket grows
+    edit_render = jax.jit(lambda cam, st, bg, noise: render(
+        cam, st, rcfg, bg, max_sh_degree=model.sh_degree, noise=noise,
+        depth_ratio=pipe.depth_ratio))
     from tqdm import tqdm
     bar = tqdm(range(1, opt.iterations + 1), desc="IG2G")
 
@@ -143,9 +150,7 @@ def main():
             noise_key, sub = jax.random.split(noise_key)
             gnoise = jax.random.normal(
                 sub, (ts.gaussians.capacity, 3), jnp.float32)
-            pkg = render(cam_data.camera, ts.gaussians, rcfg, bg,
-                         max_sh_degree=model.sh_degree, noise=gnoise,
-                         depth_ratio=pipe.depth_ratio)
+            pkg = edit_render(cam_data.camera, ts.gaussians, bg, gnoise)
             rendered = jnp.clip(pkg["render"], 0, 1)[None]
             rend_noise = pkg["rend_noise"][None]
             original = jnp.asarray(cam_data.image)[None]
