@@ -40,11 +40,10 @@ class GaussianExtractor:
         self.interpret = interpret
         self.depth_ratio = depth_ratio
         self.bg = jnp.asarray(bg_color, jnp.float32)
+        self._render_cache = {}   # (W, H) → jitted renderer, survives clean
         self.clean()
 
     def clean(self):
-        if not hasattr(self, "_render_cache"):
-            self._render_cache = {}
         self.rgbmaps: List[np.ndarray] = []
         self.depthmaps: List[np.ndarray] = []
         self.alphamaps: List[np.ndarray] = []

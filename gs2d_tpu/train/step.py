@@ -113,8 +113,10 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
         # corrupt update lands during the (host-cadenced, up to 10 iters
         # late) overflow detection + capacity regrowth.
         ok = jnp.logical_not(aux["overflow"])
-        keep = lambda new, old: jax.tree.map(  # noqa: E731
-            lambda a, b: jnp.where(ok, a, b), new, old)
+
+        def keep(new, old):
+            return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
+
         new_params = keep(new_params, gs.params)
         new_opt = keep(new_opt, ts.opt)
         new_params = shard_capacity_tree(new_params, mesh)
