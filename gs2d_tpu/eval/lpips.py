@@ -55,7 +55,11 @@ class LPIPS:
 @functools.partial(jax.jit, static_argnames=())
 def _lpips_fn(params, x, y):
     def feats(img):
-        h = (img * 2.0 - 1.0 - _SHIFT[:, None, None]) / _SCALE[:, None, None]
+        # NOTE: the reference's vendored lpipsPyTorch z-scores the [0,1]
+        # image directly (modules/networks.py:49-56) — it does NOT apply
+        # upstream richzhang's [0,1]→[-1,1] remap. Protocol comparability
+        # with the reference's published tables requires matching that.
+        h = (img - _SHIFT[:, None, None]) / _SCALE[:, None, None]
         h = h[None]                                    # (1, C, H, W)
         taps = []
         for i, (_, pool) in enumerate(_VGG_PLAN):
@@ -78,8 +82,10 @@ def _lpips_fn(params, x, y):
     fy = feats(y)
     total = 0.0
     for j, (a, b) in enumerate(zip(fx, fy)):
-        na = a * jax.lax.rsqrt(jnp.sum(a * a, 1, keepdims=True) + 1e-10)
-        nb = b * jax.lax.rsqrt(jnp.sum(b * b, 1, keepdims=True) + 1e-10)
+        # x / (||x|| + eps), the exact normalize_activation form of the
+        # reference (lpipsPyTorch/modules/utils.py:6-8)
+        na = a / (jnp.sqrt(jnp.sum(a * a, 1, keepdims=True)) + 1e-10)
+        nb = b / (jnp.sqrt(jnp.sum(b * b, 1, keepdims=True)) + 1e-10)
         d = (na - nb) ** 2
         lin = params[f"lin{j}"].reshape(1, -1, 1, 1)   # (1, C, 1, 1) ≥ 0
         total = total + jnp.mean(jnp.sum(d * lin, axis=1))

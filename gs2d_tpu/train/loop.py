@@ -38,10 +38,22 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
           checkpoint_iterations: List[int] = (),
           start_checkpoint: Optional[str] = None,
           mesh=None,
+          multihost: bool = False,
           log_fn: Optional[Callable] = None,
           report_fn: Optional[Callable] = None,
           profile_dir: Optional[str] = None,
           viewer_fn: Optional[Callable] = None):
+    # Multi-host contract (parallel/multihost.py): every process runs the
+    # same step/densify computations on the same seeded camera schedule;
+    # ground truth is assembled from host-local row bands; only file
+    # writes are gated to process 0.
+    if multihost:
+        assert mesh is not None, "multihost training requires a global mesh"
+        from ..parallel.multihost import (global_gt_from_local_rows,
+                                          is_main_process, local_row_range)
+        io_ok = is_main_process()
+    else:
+        io_ok = True
     scene = Scene(model, capacity=rt.initial_capacity, seed=rt.seed)
     gaussians = scene.gaussians
     opt_state = init_adam(gaussians.params)
@@ -104,7 +116,14 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
         # the budget falls back to streaming for datasets larger than HBM)
         gt = gt_cache.get(cam_idx)
         if gt is None:
-            gt = jnp.asarray(cam_data.image)
+            if multihost:
+                # host-local IO: upload only this process's pixel-row band
+                img = np.asarray(cam_data.image)
+                r0, r1 = local_row_range(mesh, img.shape[1])
+                gt = global_gt_from_local_rows(img[:, r0:r1], mesh,
+                                               img.shape[1])
+            else:
+                gt = jnp.asarray(cam_data.image)
             if gt_cache_bytes + gt.nbytes <= rt.gt_cache_budget:
                 gt_cache[cam_idx] = gt
                 gt_cache_bytes += gt.nbytes
@@ -191,9 +210,9 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
                 })
         if report_fn and iteration in test_iterations:
             report_fn(iteration, ts, scene)
-        if iteration in save_iterations and scene.model_path:
+        if iteration in save_iterations and scene.model_path and io_ok:
             scene.save(iteration, ts.gaussians)
-        if iteration in checkpoint_iterations and scene.model_path:
+        if iteration in checkpoint_iterations and scene.model_path and io_ok:
             save_checkpoint(
                 os.path.join(scene.model_path, f"chkpnt{iteration}.npz"),
                 ts.gaussians, ts.opt, iteration, spatial_lr_scale)

@@ -1,0 +1,190 @@
+"""Scale benchmark: per-stage rasterizer timings at trained-scene-like load.
+
+VERDICT r1 item 1: the round-1 headline (30.7M rays/s) was measured at
+100k uniform Gaussians (~520k pairs); trained scenes reach 1M+ splats and
+multi-million pair counts. This script measures, per N in {0.5M, 1M, 2M}
+at 1080p with the trained-like distribution (gs2d_tpu/utils/bench_scenes):
+
+  preprocess | binning | expansion gather | fwd kernel | bwd kernel |
+  bwd glue (inv-gather + segment-sum + scatter) | e2e fwd | e2e fwd+bwd
+
+Appends one JSON line per N to PERF_scale.jsonl (flushed as it goes, so a
+timeout keeps partial results). Timing uses chained data-dependent loops
+(utils/timing.timed_loop) — block_until_ready does not block on the axon
+tunnel. Stage steps consume their real outputs (gid/pair tables, not just
+num_pairs) to defeat DCE.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs2d_tpu.ops.rasterize.api import (RasterizeConfig, _segment_sum_rows,
+                                        pack_entries, rasterize,
+                                        suggest_pairs_capacity)
+from gs2d_tpu.ops.rasterize.binning import bin_gaussians
+from gs2d_tpu.ops.rasterize.kernel_bwd import rasterize_bwd_pallas
+from gs2d_tpu.ops.rasterize.kernel_fwd import rasterize_fwd_pallas
+from gs2d_tpu.ops.rasterize.preprocess import preprocess
+from gs2d_tpu.scene.cameras import make_camera
+from gs2d_tpu.utils.bench_scenes import make_trained_like_scene
+from gs2d_tpu.utils.timing import timed_loop
+
+W, H = 1920, 1080
+CHUNK = 128
+
+
+def bench_one(n, out_f, n_iters=8):
+    t_wall = time.time()
+    fovx = math.radians(70)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 3.0]), fovx, fovy, W, H)
+    means, scales, quats, opac, rgb = (
+        jnp.asarray(x) for x in make_trained_like_scene(n))
+
+    pre_fn = jax.jit(lambda m, s, q, o, c: preprocess(
+        m, s, q, o, cam.world_view, cam.full_proj, cam.campos, W, H,
+        colors=c))
+    pre = pre_fn(means, scales, quats, opac, rgb)
+    cap = suggest_pairs_capacity(pre, W, H)
+    cfg = RasterizeConfig(width=W, height=H, pairs_capacity=cap, chunk=CHUNK)
+    rec = {"n_gaussians": n, "width": W, "height": H, "pairs_capacity": cap}
+    print(f"[N={n}] capacity {cap}", flush=True)
+
+    # ---- stage: preprocess (chained via means feedback) --------------
+    def step_pre(m):
+        p = pre_fn(m, scales, quats, opac, rgb)
+        return m + 1e-30 * (jnp.sum(p.center2d[::501]) + jnp.sum(p.A[::503]))
+    dt, _ = timed_loop(step_pre, means, n=n_iters)
+    rec["t_preprocess_ms"] = dt * 1e3
+
+    # ---- stage: binning (consume gid/inv/tile tables) -----------------
+    bin_fn = jax.jit(lambda c2, ex, dp, vis: bin_gaussians(
+        c2, ex, dp, vis, W, H, cap, CHUNK))
+
+    def step_bin(c2):
+        b = bin_fn(c2, pre.extent, pre.depth, pre.visible)
+        fb = (jnp.sum(b.gid[::997]) + jnp.sum(b.inv[::1009]) +
+              jnp.sum(b.tile_start) + jnp.sum(b.tile_count) +
+              jnp.sum(b.seg_start[::499]))
+        return c2 + 1e-30 * fb.astype(jnp.float32)
+    dt, _ = timed_loop(step_bin, pre.center2d, n=n_iters)
+    rec["t_binning_ms"] = dt * 1e3
+
+    bins = bin_fn(pre.center2d, pre.extent, pre.depth, pre.visible)
+    rec["num_pairs"] = int(bins.num_pairs)
+    rec["padded_total"] = int(bins.padded_total)
+    rec["overflow"] = bool(bins.overflow)
+    print(f"[N={n}] pairs {rec['num_pairs']} padded {rec['padded_total']}",
+          flush=True)
+
+    # ---- stage: expansion gather (packed[gid].T) ----------------------
+    packed = jax.jit(pack_entries)(pre)
+    gid = bins.gid
+
+    @jax.jit
+    def step_gather(p):
+        e = p[gid].T
+        return p + 1e-30 * jnp.sum(e[:, ::1013])
+    dt, _ = timed_loop(step_gather, packed, n=n_iters)
+    rec["t_gather_ms"] = dt * 1e3
+
+    # ---- stage: fwd kernel --------------------------------------------
+    entries = jax.jit(lambda p: p[gid].T)(packed)
+    ts, tc = bins.tile_start, bins.tile_count
+
+    @jax.jit
+    def step_fwd(e):
+        out, _ = rasterize_fwd_pallas(e, ts, tc, width=W, height=H,
+                                      chunk=CHUNK)
+        return e + 1e-30 * jnp.sum(out[::997, :, ::97])
+    dt, _ = timed_loop(step_fwd, entries, n=n_iters)
+    rec["t_fwd_kernel_ms"] = dt * 1e3
+
+    out_tiles, med_tiles = jax.jit(
+        lambda e: rasterize_fwd_pallas(e, ts, tc, width=W, height=H,
+                                       chunk=CHUNK))(entries)
+    g_tiles = jnp.ones_like(out_tiles)
+
+    # ---- stage: bwd kernel --------------------------------------------
+    @jax.jit
+    def step_bwd(e):
+        d = rasterize_bwd_pallas(e, ts, tc, out_tiles, g_tiles, med_tiles,
+                                 width=W, height=H, chunk=CHUNK)
+        return e + 1e-30 * d
+    dt, _ = timed_loop(step_bwd, entries, n=n_iters)
+    rec["t_bwd_kernel_ms"] = dt * 1e3
+
+    # ---- stage: bwd glue (slot→expansion gather, segment sum, scatter) -
+    d_raw = jnp.ones_like(entries)
+    inv, seg_s, seg_e, order = bins.inv, bins.seg_start, bins.seg_end, \
+        bins.order
+    P_alloc = entries.shape[1]
+    N = order.shape[0]
+
+    @jax.jit
+    def step_bglue(d):
+        ok = inv < P_alloc
+        d_pairs = d.T[jnp.where(ok, inv, 0)]
+        d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
+        d_sorted = _segment_sum_rows(d_pairs, seg_s, seg_e)
+        d_packed = jnp.zeros((N, d.shape[0]), d.dtype).at[order].set(d_sorted)
+        return d + 1e-30 * jnp.sum(d_packed[::503])
+    dt, _ = timed_loop(step_bglue, d_raw, n=n_iters)
+    rec["t_bwd_glue_ms"] = dt * 1e3
+
+    # ---- e2e fwd ------------------------------------------------------
+    @jax.jit
+    def step_e2e_fwd(m):
+        p = pre_fn(m, scales, quats, opac, rgb)
+        out, _ = rasterize(p, cfg)
+        return m + 1e-30 * jnp.sum(out[:, ::97, ::97])
+    dt, _ = timed_loop(step_e2e_fwd, means, n=n_iters)
+    rec["t_e2e_fwd_ms"] = dt * 1e3
+
+    # ---- e2e fwd+bwd (the headline) ------------------------------------
+    cot = jnp.ones((15, H, W), jnp.float32)
+
+    def loss(m, s, q, o, c):
+        p = preprocess(m, s, q, o, cam.world_view, cam.full_proj, cam.campos,
+                       W, H, colors=c)
+        out, _ = rasterize(p, cfg)
+        return jnp.sum(out * cot)
+
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+    def step_grad(args):
+        g = grad(*args)
+        return tuple(a - 1e-12 * gi for a, gi in zip(args, g))
+    dt, _ = timed_loop(step_grad, (means, scales, quats, opac, rgb),
+                       n=n_iters)
+    rec["t_e2e_fwd_bwd_ms"] = dt * 1e3
+    rec["rays_per_s_fwd_bwd"] = W * H / dt
+    rec["wall_s"] = time.time() - t_wall
+
+    out_f.write(json.dumps(rec) + "\n")
+    out_f.flush()
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ns = [int(x) for x in (sys.argv[1:] or ["500000", "1000000", "2000000"])]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PERF_scale.jsonl"), "a") as f:
+        f.write(json.dumps({"ts": time.time(), "event": "run",
+                            "devices": str(jax.devices())}) + "\n")
+        for n in ns:
+            bench_one(n, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,25 @@ import argparse
 
 import numpy as np
 
+# torchvision vgg16.features module indices of the 13 convs
+CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def convert_state_dicts(vgg_sd, lpips_sd):
+    """torchvision vgg16.features state dict + LPIPS v0.1 lin-head state
+    dict → the flat npz layout gs2d_tpu/eval/lpips.py loads."""
+    def to_np(t):
+        return t.numpy() if hasattr(t, "numpy") else np.asarray(t)
+
+    out = {}
+    for i, ci in enumerate(CONV_IDX):
+        out[f"conv{i}_w"] = to_np(vgg_sd[f"{ci}.weight"])
+        out[f"conv{i}_b"] = to_np(vgg_sd[f"{ci}.bias"])
+    for j in range(5):
+        w = to_np(lpips_sd[f"lin{j}.model.1.weight"])  # (1, C, 1, 1)
+        out[f"lin{j}"] = w.reshape(-1)
+    return out
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -29,13 +48,6 @@ def main():
         from torchvision.models import vgg16
         sd = vgg16(weights="IMAGENET1K_V1").features.state_dict()
 
-    # torchvision features indices of the 13 convs
-    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
-    out = {}
-    for i, ci in enumerate(conv_idx):
-        out[f"conv{i}_w"] = sd[f"{ci}.weight"].numpy()
-        out[f"conv{i}_b"] = sd[f"{ci}.bias"].numpy()
-
     if args.lpips:
         lsd = torch.load(args.lpips, map_location="cpu")
     else:
@@ -44,10 +56,8 @@ def main():
                "PerceptualSimilarity/master/lpips/weights/v0.1/vgg.pth")
         fn, _ = urllib.request.urlretrieve(url)
         lsd = torch.load(fn, map_location="cpu")
-    for j in range(5):
-        w = lsd[f"lin{j}.model.1.weight"].numpy()  # (1, C, 1, 1)
-        out[f"lin{j}"] = w.reshape(-1)
 
+    out = convert_state_dicts(sd, lsd)
     np.savez_compressed(args.out, **out)
     print("wrote", args.out, "with", len(out), "arrays")
 

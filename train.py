@@ -78,7 +78,20 @@ def main():
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
     parser.add_argument("--no_viewer", action="store_true")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-process pod training: "
+                             "jax.distributed bring-up, global device "
+                             "mesh, host-local gt bands, proc-0-only IO "
+                             "(parallel/multihost.py)")
     args = parser.parse_args()
+
+    # Distributed bring-up MUST precede any backend-touching JAX call.
+    main_proc = True
+    if args.multihost:
+        from gs2d_tpu.parallel.multihost import (initialize_distributed,
+                                                 is_main_process)
+        initialize_distributed()
+        main_proc = is_main_process()
 
     import uuid
     if not args.model_path:
@@ -114,7 +127,10 @@ def main():
     args.save_iterations.append(opt.iterations)
 
     mesh = None
-    if args.data_devices > 1:
+    if args.multihost:
+        from gs2d_tpu.parallel.multihost import global_data_mesh
+        mesh = global_data_mesh()
+    elif args.data_devices > 1:
         import jax
         import numpy as np
         from jax.sharding import Mesh
@@ -125,20 +141,22 @@ def main():
     from gs2d_tpu.ops.ssim import psnr as psnr_fn
     from gs2d_tpu.train.loop import train
 
-    # TensorBoard (reference train.py:184-198)
+    # TensorBoard (reference train.py:184-198); process-0-only side effect
     tb_writer = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        tb_writer = SummaryWriter(args.model_path)
-    except ImportError:
-        print("Tensorboard not available: not logging progress")
+    if main_proc:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb_writer = SummaryWriter(args.model_path)
+        except ImportError:
+            print("Tensorboard not available: not logging progress")
 
-    bar = tqdm(total=opt.iterations, desc="Training")
+    bar = tqdm(total=opt.iterations, desc="Training", disable=not main_proc)
     last = [0]
 
     def log_fn(iteration, info):
         if "event" in info:
-            bar.write(f"[{iteration}] {info['event']}")
+            if main_proc:
+                bar.write(f"[{iteration}] {info['event']}")
             return
         bar.update(iteration - last[0])
         last[0] = iteration
@@ -195,15 +213,17 @@ def main():
                     f"test_view_{c.image_name}/rend_normal",
                     (np.asarray(pkg["rend_normal"]) * 0.5 + 0.5)[None],
                     global_step=iteration)
-        bar.write(f"[ITER {iteration}] eval PSNR "
-                  f"{sum(vals) / len(vals):.2f} over {len(vals)} views")
+        if main_proc:
+            bar.write(f"[ITER {iteration}] eval PSNR "
+                      f"{sum(vals) / len(vals):.2f} over {len(vals)} views")
         if tb_writer is not None:
             tb_writer.add_scalar("test/psnr", sum(vals) / len(vals),
                                  iteration)
 
-    # live-viewer polling during training (reference train.py:146-168)
+    # live-viewer polling during training (reference train.py:146-168);
+    # the TCP socket is a process-0-only side effect
     viewer_fn = None
-    if not args.no_viewer:
+    if not args.no_viewer and main_proc:
         import numpy as np
 
         from gs2d_tpu.render.network_gui import (NetworkGUI,
@@ -260,7 +280,8 @@ def main():
           save_iterations=args.save_iterations,
           checkpoint_iterations=args.checkpoint_iterations,
           start_checkpoint=args.start_checkpoint,
-          mesh=mesh, log_fn=log_fn, report_fn=report_fn,
+          mesh=mesh, multihost=args.multihost,
+          log_fn=log_fn, report_fn=report_fn,
           profile_dir=args.profile, viewer_fn=viewer_fn)
     bar.close()
     print("\nTraining complete.")
