@@ -21,41 +21,98 @@ from ..scene.ply import read_mesh_ply, read_point_cloud
 from .geometry import chamfer_distance, sample_mesh_points, thin_points
 
 
-def cull_mesh_by_masks(verts, faces, cameras, masks, dilate_px: int = 12):
-    """Remove faces whose vertices fall outside every view's (dilated)
-    foreground mask — the reference's mask culling
-    (evaluate_single_scene.py:19-101)."""
+def load_idr_cameras(cameras_npz_path: str, n_images: int):
+    """Load the IDR-format `cameras.npz` shipped with the preprocessed DTU
+    scans (the reference reads it at evaluate_single_scene.py:25-37):
+    per-view `world_mat_i` (K[R|t] in the normalized frame composed with
+    `scale_mat_i`). Returns (intrinsics[n,3,3], w2c[n,4,4], scale_mat0)."""
     import cv2
-    keep_v = np.zeros(len(verts), bool)
-    seen_v = np.zeros(len(verts), bool)
-    for cam, mask in zip(cameras, masks):
-        m = cv2.dilate(mask.astype(np.uint8),
-                       np.ones((dilate_px, dilate_px), np.uint8)) > 0
-        w2v = np.asarray(cam.world_view)
-        p = verts @ w2v[:3, :3] + w2v[3, :3]
-        z = p[:, 2]
-        from ..ops.transforms import fov2focal
-        fx = fov2focal(cam.fovx, cam.width)
-        fy = fov2focal(cam.fovy, cam.height)
-        u = p[:, 0] / np.maximum(z, 1e-9) * fx + (cam.width - 1) / 2
-        v = p[:, 1] / np.maximum(z, 1e-9) * fy + (cam.height - 1) / 2
-        inb = ((z > 0) & (u >= 0) & (u < cam.width)
-               & (v >= 0) & (v < cam.height))
-        ui = np.clip(u.astype(int), 0, cam.width - 1)
-        vi = np.clip(v.astype(int), 0, cam.height - 1)
-        inside = inb & m[vi, ui]
-        keep_v |= inside
-        seen_v |= inb
-    keep_v |= ~seen_v
+    cd = np.load(cameras_npz_path)
+    Ks, w2cs = [], []
+    for i in range(n_images):
+        P = (cd[f"world_mat_{i}"] @ cd[f"scale_mat_{i}"])[:3, :4]
+        K, R, t = cv2.decomposeProjectionMatrix(P)[:3]
+        K = K / K[2, 2]
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = R.T
+        pose[:3, 3] = (t[:3] / t[3])[:, 0]
+        Ks.append(K.astype(np.float32))
+        w2cs.append(np.linalg.inv(pose).astype(np.float32))
+    return np.stack(Ks), np.stack(w2cs), cd["scale_mat_0"].astype(np.float32)
+
+
+def cull_mesh_by_masks(verts, faces, masks, Ks, w2cs,
+                       dilate_radius: int = 24, scale_mat=None):
+    """The reference's mask culling (evaluate_single_scene.py:19-101):
+    a vertex survives iff in EVERY view it is either outside the image or
+    inside that view's disk(24)-dilated foreground mask; faces with any
+    culled vertex are dropped, and the surviving vertices are mapped to
+    the GT world frame via `scale_mat` (v' = v·s + t). Mask resolution is
+    taken from the mask arrays (the reference hard-codes 1600x1200)."""
+    import cv2
+    keep_v = np.ones(len(verts), bool)
+    vh = np.concatenate([verts, np.ones((len(verts), 1))], -1)
+    kernel = cv2.getStructuringElement(
+        cv2.MORPH_ELLIPSE, (2 * dilate_radius + 1, 2 * dilate_radius + 1))
+    for K, w2c, mask in zip(Ks, w2cs, masks):
+        H, W = mask.shape[:2]
+        m = cv2.dilate((mask > 0).astype(np.uint8), kernel) > 0
+        p = vh @ w2c.T
+        cp = p[:, :3] @ K.T
+        u = cp[:, 0] / (cp[:, 2] + 1e-6)
+        v = cp[:, 1] / (cp[:, 2] + 1e-6)
+        # strict open-interval validity, as the reference's (-1,1) check
+        valid = (u > 0) & (u < W - 1) & (v > 0) & (v < H - 1)
+        ui = np.clip(np.rint(u).astype(int), 0, W - 1)
+        vi = np.clip(np.rint(v).astype(int), 0, H - 1)
+        keep_v &= np.where(valid, m[vi, ui], True)
     fmask = keep_v[faces].all(-1)
+    if scale_mat is not None:
+        verts = verts * scale_mat[0, 0] + scale_mat[:3, 3][None]
     return verts, faces[fmask]
+
+
+def cull_mesh_for_scan(mesh_verts, mesh_faces, scan_dir: str,
+                       dilate_radius: int = 24):
+    """Full reference cull step for one preprocessed DTU scan directory
+    (must contain `cameras.npz` and `mask/*.png`). Returns (verts, faces)
+    in the GT world frame, or None if the directory lacks the data."""
+    import glob
+
+    import cv2
+    cam_file = os.path.join(scan_dir, "cameras.npz")
+    mask_paths = sorted(glob.glob(os.path.join(scan_dir, "mask", "*.png")))
+    if not (os.path.exists(cam_file) and mask_paths):
+        return None
+    masks = [cv2.imread(p, cv2.IMREAD_GRAYSCALE) for p in mask_paths]
+    Ks, w2cs, scale_mat = load_idr_cameras(cam_file, len(mask_paths))
+    return cull_mesh_by_masks(mesh_verts, mesh_faces, masks, Ks, w2cs,
+                              dilate_radius=dilate_radius,
+                              scale_mat=scale_mat)
 
 
 def evaluate_scan(mesh_path: str, gt_points_path: str,
                   obs_mask_path: Optional[str] = None,
                   density: float = 0.2, max_dist: float = 20.0,
-                  n_samples: int = 2_000_000) -> dict:
+                  n_samples: int = 2_000_000,
+                  scan_dir: Optional[str] = None) -> dict:
+    """Chamfer for one scan. When ``scan_dir`` holds the preprocessed DTU
+    `cameras.npz` + `mask/`, the mesh is mask-culled first, as the
+    reference protocol requires (evaluate_single_scene.py:19-101)."""
     verts, faces, _ = read_mesh_ply(mesh_path)
+    if scan_dir is not None:
+        culled = cull_mesh_for_scan(verts, faces, scan_dir)
+        if culled is not None:
+            verts, faces = culled
+    return evaluate_scan_mesh(verts, faces, gt_points_path, obs_mask_path,
+                              density=density, max_dist=max_dist,
+                              n_samples=n_samples)
+
+
+def evaluate_scan_mesh(verts, faces, gt_points_path: str,
+                       obs_mask_path: Optional[str] = None,
+                       density: float = 0.2, max_dist: float = 20.0,
+                       n_samples: int = 2_000_000) -> dict:
     pts = sample_mesh_points(verts, faces, n_samples)
     pts = thin_points(pts, density) if density > 0 else pts
 

@@ -55,7 +55,10 @@ if __name__ == "__main__":
                               f"stl{scan:03d}_total.ply")
             obs = os.path.join(args.DTU, "ObsMask",
                                f"ObsMask{scan}_10.mat")
-            r = evaluate_scan(mesh, gt, obs)
+            # the protocol culls by the scan's dilated per-view masks
+            # before sampling (reference evaluate_single_scene.py:19-101);
+            # scan dirs lacking cameras.npz/mask fall back uncontrolled
+            r = evaluate_scan(mesh, gt, obs, scan_dir=src)
             results[scan] = r
             print(f"scan{scan}: chamfer {r['overall']:.4f} "
                   f"(d2s {r['mean_d2s']:.4f} s2d {r['mean_s2d']:.4f})")

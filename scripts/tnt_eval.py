@@ -21,6 +21,30 @@ SCENES_LARGE = ["Meetingroom", "Courthouse"]
 TAU = {"Barn": 0.01, "Caterpillar": 0.005, "Ignatius": 0.003,
        "Truck": 0.005, "Meetingroom": 0.01, "Courthouse": 0.025}
 
+
+def export_trajectory(src: str, out_log: str) -> None:
+    """Write the scene's estimated camera trajectory (COLMAP poses,
+    name-sorted, camera-to-world) in TnT .log format — the input the
+    reference protocol registers against the GT SfM log."""
+    import numpy as np
+
+    from gs2d_tpu.eval.tnt import write_trajectory_log
+    from gs2d_tpu.scene.colmap import (detect_model_dir, read_images_binary,
+                                       read_images_text)
+    model = detect_model_dir(os.path.join(src, "sparse"))
+    bin_path = os.path.join(model, "images.bin")
+    imgs = (read_images_binary(bin_path) if os.path.exists(bin_path)
+            else read_images_text(os.path.join(model, "images.txt")))
+    poses = []
+    for img in sorted(imgs.values(), key=lambda im: im.name):
+        from gs2d_tpu.scene.colmap import qvec2rotmat
+        R = qvec2rotmat(img.qvec)
+        c2w = np.eye(4)
+        c2w[:3, :3] = R.T
+        c2w[:3, 3] = -R.T @ img.tvec
+        poses.append(c2w)
+    write_trajectory_log(out_log, np.stack(poses))
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--TNT_data", required=True)
@@ -52,14 +76,22 @@ if __name__ == "__main__":
                             "-m", out, "--skip_test"] + mesh_flags,
                            check=True)
         if args.TNT_GT:
-            from gs2d_tpu.eval.tnt import evaluate_scene
+            from gs2d_tpu.eval.tnt import run_tnt_evaluation
             from gs2d_tpu.scene.scene import search_max_iteration
             it = search_max_iteration(os.path.join(out, "point_cloud"))
             name = "fuse_post.ply" if scene in SCENES_360 \
                 else "fuse_unbounded_post.ply"
             mesh = os.path.join(out, "train", f"ours_{it}", name)
-            gt = os.path.join(args.TNT_GT, scene, f"{scene}.ply")
-            r = evaluate_scene(mesh, gt, TAU[scene])
+            gt_dir = os.path.join(args.TNT_GT, scene)
+            # estimated trajectory from the scene's COLMAP poses → .log
+            traj = os.path.join(out, f"{scene}_traj.log")
+            export_trajectory(src, traj)
+            r = run_tnt_evaluation(mesh, gt_dir, traj,
+                                   os.path.join(out, "tnt_eval"),
+                                   scene=scene)
+            r.pop("transform", None)
+            r = {k: (v.tolist() if hasattr(v, "tolist") else v)
+                 for k, v in r.items()}
             results[scene] = r
             print(f"{scene}: F1 {r['fscore']:.4f} "
                   f"(p {r['precision']:.4f} r {r['recall']:.4f})")
