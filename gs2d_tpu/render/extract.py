@@ -125,73 +125,143 @@ class GaussianExtractor:
         colors = self._sample_colors(vol, verts)
         return verts, faces, colors
 
-    def extract_mesh_unbounded(self, resolution=512):
+    def extract_mesh_unbounded(self, resolution=512, block_size=256):
         """Unbounded meshing with MipNeRF-360 contraction
         (reference :198-293): evaluate a contracted-space SDF grid by
         projective fusion over all views with adaptive truncation, then
-        run marching tets in contracted space and un-contract vertices."""
+        run marching tets in contracted space and un-contract vertices.
+
+        BLOCK-WISE, like the reference's marching_cubes_with_contraction
+        (utils/mcube_utils.py:17-95, 512³ crops up to res 1024): the grid
+        is processed in ``block_size``³ chunks with one-point overlap, so
+        peak memory is bounded by the block, not the resolution, and each
+        block is ONE device program (all views fused via lax.scan —
+        tsdf.fuse_sdf_points_views). Block meshes are merged by exact
+        lattice-quantized vertex dedup, so shared-face vertices weld and
+        the result is identical to a monolithic extraction."""
         if not hasattr(self, "radius"):
             self.estimate_bounding_sphere()
 
-        def contract(x):
-            n = np.linalg.norm(x, axis=-1, keepdims=True)
-            return np.where(n <= 1, x, (2 - 1 / n) * x / n)
-
         def uncontract(y):
             n = np.linalg.norm(y, axis=-1, keepdims=True)
-            return np.where(n <= 1, y, 1 / (2 - n) * y / n)
+            return np.where(n <= 1, y, 1 / (2 - np.maximum(n, 1e-9)) * y / n)
 
         # normalize world → unit sphere around the scene center
         scale = 1.0 / self.radius
 
+        from ..ops.tsdf import fuse_sdf_points_views
         N = resolution
-        grid = np.stack(np.meshgrid(
-            *([np.linspace(-2 + 2 / N, 2 - 2 / N, N)] * 3),
-            indexing="ij"), -1).astype(np.float32)
-        world = uncontract(grid.reshape(-1, 3)) / scale + self.center
-        norm_pts = grid.reshape(-1, 3)
+        lin = np.linspace(-2 + 2 / N, 2 - 2 / N, N).astype(np.float32)
+        voxel = float(lin[1] - lin[0]) if N > 1 else 1.0
+        origin_c = np.array([lin[0]] * 3, np.float32)
 
-        # adaptive truncation ∝ 1/(2-|y|) (reference :229-232)
-        r = np.linalg.norm(norm_pts, axis=-1)
-        trunc = (5 * 2 / N * np.where(
-            r > 1, 1.0 / (2 - np.minimum(r, 1.9)), 1.0)).astype(np.float32)
-
-        # per-view fusion runs on device (ops/tsdf.fuse_sdf_points) — the
-        # numpy formulation was ~100x slower than the chip
-        from ..ops.tsdf import fuse_sdf_points
-        pts_d = jnp.asarray(world)
-        trunc_d = jnp.asarray(trunc)
-        sdf_acc = jnp.full((N ** 3,), 1.0, jnp.float32)
-        w_acc = jnp.zeros((N ** 3,), jnp.float32)
-        col_acc = jnp.zeros((N ** 3, 3), jnp.float32)
+        # group views by resolution so per-view tensors stack; fusion of
+        # weight-1 running means across groups merges exactly by weights
+        groups = {}
         for i, cd in enumerate(self.viewpoints):
-            cam = cd.camera
-            sdf_acc, w_acc, col_acc = fuse_sdf_points(
-                pts_d, trunc_d, sdf_acc, w_acc, col_acc,
-                jnp.asarray(self.depthmaps[i]).reshape(cam.height,
-                                                       cam.width),
-                jnp.asarray(self.rgbmaps[i]).reshape(3, cam.height,
-                                                     cam.width),
-                jnp.asarray(self.alphamaps[i]).reshape(cam.height,
-                                                       cam.width),
-                cam.world_view,
-                fov2focal(cam.fovx, cam.width),
-                fov2focal(cam.fovy, cam.height),
-                cam.width, cam.height)
-        sdf_acc = np.asarray(sdf_acc)
-        w_acc = np.asarray(w_acc)
-        col_acc = np.asarray(col_acc)
+            groups.setdefault((cd.camera.width, cd.camera.height),
+                              []).append(i)
+        stacked = []
+        for (w, h), idxs in groups.items():
+            stacked.append((
+                w, h,
+                jnp.asarray(np.stack([self.depthmaps[i].reshape(h, w)
+                                      for i in idxs])),
+                jnp.asarray(np.stack([self.rgbmaps[i].reshape(3, h, w)
+                                      for i in idxs])),
+                jnp.asarray(np.stack([self.alphamaps[i].reshape(h, w)
+                                      for i in idxs])),
+                jnp.asarray(np.stack([np.asarray(
+                    self.viewpoints[i].camera.world_view)
+                    for i in idxs])),
+                jnp.asarray([fov2focal(self.viewpoints[i].camera.fovx, w)
+                             for i in idxs], dtype=jnp.float32),
+                jnp.asarray([fov2focal(self.viewpoints[i].camera.fovy, h)
+                             for i in idxs], dtype=jnp.float32),
+            ))
 
-        sdf_grid = sdf_acc.reshape(N, N, N)
-        verts_c, faces = marching_tets(
-            sdf_grid, origin=np.array([-2 + 2 / N] * 3),
-            voxel_size=(4 - 4 / N) / (N - 1),
-            mask=(w_acc > 0).reshape(N, N, N))
+        fuse = jax.jit(fuse_sdf_points_views, static_argnames=(
+            "width", "height"))
+
+        def block_sdf(i0s, i1s):
+            """Fused (sdf, w, col) for grid points [i0, i1) per axis."""
+            axes = [lin[i0:i1] for i0, i1 in zip(i0s, i1s)]
+            grid = np.stack(np.meshgrid(*axes, indexing="ij"),
+                            -1).reshape(-1, 3)
+            r = np.linalg.norm(grid, axis=-1)
+            # adaptive truncation ∝ 1/(2-|y|) (reference :229-232)
+            trunc = (5 * 2 / N * np.where(
+                r > 1, 1.0 / (2 - np.minimum(r, 1.9)), 1.0)
+            ).astype(np.float32)
+            world = uncontract(grid) / scale + self.center
+            pts_d = jnp.asarray(world.astype(np.float32))
+            trunc_d = jnp.asarray(trunc)
+            sdf_n = np.zeros(len(grid), np.float32)
+            w_n = np.zeros(len(grid), np.float32)
+            col_n = np.zeros((len(grid), 3), np.float32)
+            for (w, h, dep, rgb, al, wv, fxs, fys) in stacked:
+                s_g, w_g, c_g = jax.device_get(fuse(
+                    pts_d, trunc_d, dep, rgb, al, wv, fxs, fys,
+                    width=w, height=h))
+                sdf_n += s_g * w_g
+                w_n += w_g
+                col_n += c_g * w_g[:, None]
+            denom = np.maximum(w_n, 1.0)
+            sdf_n = np.where(w_n > 0, sdf_n / denom, 1.0)
+            col_n = col_n / denom[:, None]
+            shape = tuple(i1 - i0 for i0, i1 in zip(i0s, i1s))
+            return (sdf_n.reshape(shape), w_n.reshape(shape),
+                    col_n.reshape(shape + (3,)))
+
+        # block starts with one-point overlap: cubes [s, e-1) per block
+        starts = list(range(0, max(N - 1, 1), max(block_size - 1, 1)))
+        all_vc, all_faces, all_cols = [], [], []
+        for sx in starts:
+            for sy in starts:
+                for sz in starts:
+                    i0s = (sx, sy, sz)
+                    i1s = tuple(min(s + block_size, N) for s in i0s)
+                    sdf_b, w_b, col_b = block_sdf(i0s, i1s)
+                    if not ((sdf_b < 0).any() and (sdf_b > 0).any()):
+                        continue
+                    vc, fc = marching_tets(
+                        sdf_b.astype(np.float64),
+                        origin=origin_c + np.array(i0s) * voxel,
+                        voxel_size=voxel, mask=w_b > 0)
+                    if len(fc) == 0:
+                        continue
+                    gi = np.clip(np.round(
+                        (vc - (origin_c + np.array(i0s) * voxel))
+                        / voxel).astype(np.int64), 0,
+                        np.array(sdf_b.shape) - 1)
+                    all_cols.append(col_b[gi[:, 0], gi[:, 1], gi[:, 2]])
+                    all_vc.append(vc)
+                    all_faces.append(fc)
+        if not all_vc:
+            return (np.zeros((0, 3), np.float32),
+                    np.zeros((0, 3), np.int64),
+                    np.zeros((0, 3), np.float32))
+
+        # weld across block boundaries: quantize to the 1/1024-voxel
+        # lattice (the same grid marching_tets dedupes on per block)
+        offs = np.cumsum([0] + [len(v) for v in all_vc[:-1]])
+        verts_c = np.concatenate(all_vc)
+        faces = np.concatenate(
+            [f + o for f, o in zip(all_faces, offs)])
+        cols = np.concatenate(all_cols)
+        keys = np.round((verts_c - origin_c) / voxel * 1024.0).astype(
+            np.int64)
+        uniq, first, inv = np.unique(keys, axis=0, return_index=True,
+                                     return_inverse=True)
+        verts_c = verts_c[first]
+        cols = cols[first]
+        faces = inv[faces]
+        ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+              & (faces[:, 0] != faces[:, 2]))
+        faces = faces[ok]
+
         verts = uncontract(verts_c) / scale + self.center
-        # colors by nearest grid sample
-        gi = np.clip(((verts_c + 2) / 4 * N).astype(np.int64), 0, N - 1)
-        colors = col_acc.reshape(N, N, N, 3)[gi[:, 0], gi[:, 1], gi[:, 2]]
-        return verts.astype(np.float32), faces, colors
+        return verts.astype(np.float32), faces, cols.astype(np.float32)
 
     def _project_sdf(self, world, cam, depthmap, rgbmap, alphamap):
         w2v = np.asarray(cam.world_view)

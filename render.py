@@ -91,7 +91,7 @@ def main():
         if args.unbounded:
             name = "fuse_unbounded.ply"
             verts, faces, colors = extractor.extract_mesh_unbounded(
-                resolution=min(args.mesh_res, 256))  # 512+ is minutes-slow (host marching); opt in via --mesh_res
+                resolution=args.mesh_res)  # block-wise; 1024 like reference
         else:
             name = "fuse.ply"
             _, radius = extractor.estimate_bounding_sphere()

@@ -108,3 +108,73 @@ def test_tsdf_integrate_sphere_depth():
     assert len(verts) > 200
     radii = np.linalg.norm(verts, axis=-1)
     assert abs(np.median(radii) - r) < 0.03
+
+
+def _sphere_view_maps(eye, W=96, H=96, fov=None, r=0.5):
+    import math
+
+    from gs2d_tpu.scene.cameras import make_camera
+    fov = fov or math.radians(40)
+    eye = np.asarray(eye, np.float64)
+    fwd = -eye / np.linalg.norm(eye)
+    up0 = np.array([0.0, 0.0, 1.0]) if abs(fwd[2]) < 0.9 else \
+        np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up0)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    R_c2w = np.stack([right, up, fwd], 1)
+    t = -R_c2w.T @ eye
+    cam = make_camera(R_c2w, t, fov, fov, W, H)
+    f = (W / 2) / math.tan(fov / 2)
+    xs = (np.arange(W) - (W - 1) / 2) / f
+    ys = (np.arange(H) - (H - 1) / 2) / f
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")
+    d_cam = np.linalg.norm(eye)
+    dirz = 1.0 / np.sqrt(1 + gx ** 2 + gy ** 2)
+    b = d_cam * dirz
+    disc = b ** 2 - (d_cam ** 2 - r ** 2)
+    hit = disc > 0
+    depth = np.where(hit, (b - np.sqrt(np.maximum(disc, 0))) * dirz,
+                     0.0).astype(np.float32)
+    return cam, depth, hit.astype(np.float32)
+
+
+def _fake_extractor(r=0.5):
+    from gs2d_tpu.render.extract import GaussianExtractor
+    from gs2d_tpu.scene.cameras import CameraData
+    ex = GaussianExtractor.__new__(GaussianExtractor)
+    ex._render_cache = {}
+    ex.clean()
+    for eye in ([2.5, 0, 0], [-2.5, 0, 0], [0, 2.5, 0], [0, -2.5, 0],
+                [0, 0, 2.5], [0, 0, -2.5]):
+        cam, depth, alpha = _sphere_view_maps(eye, r=r)
+        ex.viewpoints.append(CameraData(camera=cam))
+        ex.depthmaps.append(depth[None])
+        ex.alphamaps.append(alpha[None])
+        ex.rgbmaps.append(np.broadcast_to(
+            np.array([0.2, 0.5, 0.8], np.float32)[:, None, None],
+            (3, depth.shape[0], depth.shape[1])).copy())
+    return ex
+
+
+def _face_set(verts, faces):
+    q = np.round(verts * 512).astype(np.int64)
+    tri = np.sort(faces, axis=1)
+    return {tuple(q[t].reshape(-1)) for t in tri}
+
+
+def test_unbounded_blockwise_matches_monolithic():
+    """Block-wise extraction (render/extract.py) must weld to the exact
+    mesh a single-block run produces, and recover the sphere radius."""
+    ex = _fake_extractor()
+    v1, f1, c1 = ex.extract_mesh_unbounded(resolution=48, block_size=48)
+    v2, f2, c2 = ex.extract_mesh_unbounded(resolution=48, block_size=20)
+    assert len(f1) > 200
+    assert len(v1) == len(v2)
+    assert len(f1) == len(f2)
+    np.testing.assert_allclose(v1, v2, atol=1e-5)
+    assert _face_set(v1, f1) == _face_set(v2, f2)
+    radii = np.linalg.norm(v1, axis=-1)
+    assert abs(np.median(radii) - 0.5) < 0.05
+    # colors sampled from the fused grid
+    assert np.all(np.abs(np.median(c1, 0) - [0.2, 0.5, 0.8]) < 0.05)
