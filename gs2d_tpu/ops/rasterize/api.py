@@ -31,6 +31,12 @@ class RasterizeConfig:
     chunk: int = 128
     impl: str = "pallas"      # "pallas" | "oracle"
     interpret: bool = False   # run Pallas in interpreter mode (CPU tests)
+    # slot capacity AFTER the exact per-pair cull (binning.py). None →
+    # pairs_capacity. The expansion bookkeeping stays at pairs_capacity;
+    # every final-slot cost (expansion gather, kernel streams, d_entries)
+    # scales with this smaller knob.
+    final_capacity: Optional[int] = None
+    cull: bool = True         # exact contribution cull in binning
 
 
 def pack_entries(pre: PreprocessOut) -> jnp.ndarray:
@@ -179,14 +185,16 @@ def _core_bwd(cfg, res, g):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
-def suggest_pairs_capacity(pre: PreprocessOut, width: int, height: int,
-                           chunk: int = 128, slack: float = 1.1,
-                           probe_capacity: int = 1 << 22) -> int:
-    """One probe binning at a generous capacity → a tight, chunk-aligned
-    ``pairs_capacity`` for this scene/view. Every capacity-proportional
-    cost (the tile-key sort, both slot scatters, the expansion gather, and
-    the backward's d_entries traffic) shrinks with it — a power-of-two
-    bucket typically overshoots the padded need by 25-90%.
+def suggest_capacities(pre: PreprocessOut, width: int, height: int,
+                       chunk: int = 128, slack: float = 1.1,
+                       probe_capacity: int = 1 << 22,
+                       cull: bool = True) -> tuple:
+    """One probe binning at a generous capacity → tight, chunk-aligned
+    ``(pairs_capacity, final_capacity)`` for this scene/view. Every
+    capacity-proportional cost (the tile-key sort and expansion
+    bookkeeping scale with the first; the expansion gather, kernel
+    streams, and backward d_entries with the second) shrinks with them —
+    a power-of-two bucket typically overshoots the padded need by 25-90%.
 
     If the probe itself overflows, its padded_total is clamped and would
     silently underestimate — re-probe at growing capacities until the
@@ -194,15 +202,29 @@ def suggest_pairs_capacity(pre: PreprocessOut, width: int, height: int,
     for _ in range(8):
         bins = bin_gaussians(pre.center2d, pre.extent, pre.depth,
                              pre.visible, width, height, probe_capacity,
-                             chunk)
+                             chunk,
+                             cull_abc=((pre.A, pre.B, pre.C) if cull
+                                       else None),
+                             rho2max=pre.rho2max if cull else None)
         if not bool(bins.overflow):
             break
         probe_capacity *= 4
     else:
         raise ValueError(
             f"pair demand still exceeds probe capacity {probe_capacity}")
-    need = int(bins.padded_total)
-    return max(pad_to(int(need * slack), chunk), chunk)
+    exp_need = int(bins.num_expanded)
+    fin_need = int(bins.padded_total)
+    exp_cap = max(pad_to(int(exp_need * slack), chunk), chunk)
+    fin_cap = max(pad_to(int(fin_need * slack), chunk), chunk)
+    return max(exp_cap, fin_cap), fin_cap
+
+
+def suggest_pairs_capacity(pre: PreprocessOut, width: int, height: int,
+                           chunk: int = 128, slack: float = 1.1,
+                           probe_capacity: int = 1 << 22) -> int:
+    """Single-knob variant of suggest_capacities (expansion bound)."""
+    return suggest_capacities(pre, width, height, chunk, slack,
+                              probe_capacity)[0]
 
 
 def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
@@ -215,11 +237,15 @@ def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
     if cfg.impl == "oracle":
         out = rasterize_oracle(pre, cfg.width, cfg.height)
         return out, {"num_pairs": jnp.int32(-1), "overflow": jnp.bool_(False),
-                    "padded_total": jnp.int32(-1)}
+                    "padded_total": jnp.int32(-1),
+                    "num_expanded": jnp.int32(-1)}
 
     bins: BinningOut = bin_gaussians(
         pre.center2d, pre.extent, pre.depth, pre.visible,
-        cfg.width, cfg.height, cfg.pairs_capacity, cfg.chunk)
+        cfg.width, cfg.height, cfg.pairs_capacity, cfg.chunk,
+        cull_abc=(pre.A, pre.B, pre.C) if cfg.cull else None,
+        rho2max=pre.rho2max if cfg.cull else None,
+        final_capacity=cfg.final_capacity)
     packed = pack_entries(pre)                       # (N, 24) differentiable
     # Materialize the packed records before the big expansion gather —
     # without the barrier XLA fuses the per-Gaussian preprocess math into
@@ -231,4 +257,5 @@ def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
                       bins.tile_start, bins.tile_count)
     out = untile(out_tiles, cfg.width, cfg.height)
     return out, {"num_pairs": bins.num_pairs, "overflow": bins.overflow,
-                 "padded_total": bins.padded_total}
+                 "padded_total": bins.padded_total,
+                 "num_expanded": bins.num_expanded}

@@ -32,15 +32,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .common import TILE_H, TILE_W, cdiv
+from .common import FILTER_INV_SQUARE, TILE_H, TILE_W, cdiv
 
 
 class BinningOut(NamedTuple):
-    gid: jnp.ndarray         # (P_alloc,) int32 gaussian id per slot (0 if pad)
-    slot_valid: jnp.ndarray  # (P_alloc,) bool — real entry occupies slot
+    gid: jnp.ndarray         # (P_fin,) int32 gaussian id per slot (0 if pad)
+    slot_valid: jnp.ndarray  # (P_fin,) bool — real entry occupies slot
     tile_start: jnp.ndarray  # (T,) int32 CHUNK-aligned start slot per tile
     tile_count: jnp.ndarray  # (T,) int32 true entry count per tile
-    num_pairs: jnp.ndarray   # () int32 total real pairs (pre-clamp)
+    num_pairs: jnp.ndarray   # () int32 surviving pairs (post-cull, pre-clamp)
     padded_total: jnp.ndarray  # () int32 chunk-padded slot need (true demand)
     overflow: jnp.ndarray    # () bool — capacity exceeded, tails dropped
     # Gradient-reduction side tables: expansion order (pairs grouped
@@ -48,10 +48,11 @@ class BinningOut(NamedTuple):
     # VJP reduces per-Gaussian gradients with contiguous segment sums
     # instead of a scatter-add (which collapses to ~0.3 G adds/s once the
     # accumulator exceeds VMEM).
-    inv: jnp.ndarray          # (P_alloc,) int32 expansion pair → slot (P_alloc if dropped)
+    inv: jnp.ndarray          # (P_exp,) int32 expansion pair → slot (P_fin if dropped)
     seg_start: jnp.ndarray    # (N,) int32 expansion segment start, clamped
     seg_end: jnp.ndarray      # (N,) int32 expansion segment end, clamped
     order: jnp.ndarray        # (N,) int32 depth-sorted → original Gaussian id
+    num_expanded: jnp.ndarray  # () int32 pre-cull expansion pair demand
 
 
 def alloc_size(pairs_capacity: int, num_tiles: int, chunk: int) -> int:
@@ -73,22 +74,118 @@ def _div_floor_f32(k: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return q.astype(jnp.int32)
 
 
+def _pair_contributes(grec: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
+                      width: int, height: int) -> jnp.ndarray:
+    """Exact contribution test of pair (gaussian, tile) against the
+    kernels' per-pixel condition (kernel_common.chunk_geometry):
+    a pixel composites iff min(rho3d, rho2d) <= rho2max, with
+    rho3d = (P0^2+P1^2)/P2^2 and rho2d the low-pass screen distance.
+
+    rho3d: some tile pixel passes iff min over the tile's continuous
+    pixel-center rect of Q(x,y) = P0^2 + P1^2 - rho2max*P2^2 is <= 0.
+    The exact continuous min of a (possibly indefinite) quadratic over a
+    rect is attained at the interior critical point (when the Hessian is
+    SPD and the point is inside) or on the boundary — 4 corner values
+    plus, per edge, the clamped 1-D vertex when that edge's curvature is
+    positive. The continuous min lower-bounds the discrete pixel min, so
+    dropping on "min > 0" never drops a contributing pixel; CULL_MARGIN
+    (folded into rho2max upstream) absorbs f32 form differences.
+
+    rho2d: exact — clamp the filter center to the rect.
+    """
+    a0, a1, a2 = grec[:, 4], grec[:, 5], grec[:, 6]
+    b0, b1, b2 = grec[:, 7], grec[:, 8], grec[:, 9]
+    cc0, cc1, cc2 = grec[:, 10], grec[:, 11], grec[:, 12]
+    cx, cy, r2m = grec[:, 13], grec[:, 14], grec[:, 15]
+
+    x0 = (tx * TILE_W).astype(jnp.float32)
+    x1 = jnp.minimum(x0 + (TILE_W - 1), width - 1.0)
+    y0 = (ty * TILE_H).astype(jnp.float32)
+    y1 = jnp.minimum(y0 + (TILE_H - 1), height - 1.0)
+
+    def Q(x, y):
+        # FMA form — same conditioning as the kernels' per-pixel geometry
+        # (the expanded 6-coefficient quadratic cancels catastrophically:
+        # ~1e8 intermediates vs an O(1) result swallow any fixed margin).
+        p0 = a0 + b0 * x + cc0 * y
+        p1 = a1 + b1 * x + cc1 * y
+        p2 = a2 + b2 * x + cc2 * y
+        return p0 * p0 + p1 * p1 - r2m * p2 * p2
+
+    # Expanded coefficients are used only to LOCATE candidate minima —
+    # a slightly-off vertex inflates the evaluated value quadratically
+    # (harmless), while the value itself is always the FMA form above.
+    qxx = b0 * b0 + b1 * b1 - r2m * b2 * b2
+    qyy = cc0 * cc0 + cc1 * cc1 - r2m * cc2 * cc2
+    qxy = b0 * cc0 + b1 * cc1 - r2m * b2 * cc2
+    qx = a0 * b0 + a1 * b1 - r2m * a2 * b2
+    qy = a0 * cc0 + a1 * cc1 - r2m * a2 * cc2
+
+    inf = jnp.float32(jnp.inf)
+    m = jnp.minimum(jnp.minimum(Q(x0, y0), Q(x0, y1)),
+                    jnp.minimum(Q(x1, y0), Q(x1, y1)))
+    # vertical edges x = x0 / x1: 1-D vertex in y when qyy > 0
+    safe_yy = jnp.where(qyy > 0, qyy, 1.0)
+    for xe in (x0, x1):
+        yv = jnp.clip(-(qxy * xe + qy) / safe_yy, y0, y1)
+        m = jnp.minimum(m, jnp.where(qyy > 0, Q(xe, yv), inf))
+    # horizontal edges y = y0 / y1: 1-D vertex in x when qxx > 0
+    safe_xx = jnp.where(qxx > 0, qxx, 1.0)
+    for ye in (y0, y1):
+        xv = jnp.clip(-(qxy * ye + qx) / safe_xx, x0, x1)
+        m = jnp.minimum(m, jnp.where(qxx > 0, Q(xv, ye), inf))
+    # interior critical point when the Hessian is SPD
+    det = qxx * qyy - qxy * qxy
+    spd = (qxx > 0) & (det > 0)
+    safe_det = jnp.where(spd, det, 1.0)
+    xi = (qxy * qy - qyy * qx) / safe_det
+    yi = (qxy * qx - qxx * qy) / safe_det
+    inside = (xi >= x0) & (xi <= x1) & (yi >= y0) & (yi <= y1)
+    m = jnp.minimum(m, jnp.where(spd & inside, Q(xi, yi), inf))
+    keep3d = m <= 0.0
+
+    dx = jnp.clip(cx, x0, x1) - cx
+    dy = jnp.clip(cy, y0, y1) - cy
+    keep2d = FILTER_INV_SQUARE * (dx * dx + dy * dy) <= r2m
+
+    bad = ~jnp.isfinite(a0 + a1 + a2 + b0 + b1 + b2 + cc0 + cc1 + cc2)
+    return keep3d | keep2d | bad
+
+
 def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
                   depth: jnp.ndarray, visible: jnp.ndarray,
                   width: int, height: int,
-                  pairs_capacity: int, chunk: int) -> BinningOut:
+                  pairs_capacity: int, chunk: int,
+                  cull_abc: tuple = None,
+                  rho2max: jnp.ndarray = None,
+                  final_capacity: int = None) -> BinningOut:
+    """Bin Gaussians into per-tile depth-ordered slot lists.
+
+    When ``cull_abc=(A, B, C)``/``rho2max`` (from preprocess) are given,
+    every expanded
+    (gaussian, tile) pair is tested EXACTLY against the kernels' per-pixel
+    contribution condition — min over the tile's pixel rect of the
+    quadratic Q (perspective falloff) and of the low-pass screen distance
+    — and non-contributing pairs are dropped before slot assignment. The
+    final slot arrays may then be allocated tighter via ``final_capacity``
+    (expansion bookkeeping stays at ``pairs_capacity``).
+    """
     N = center2d.shape[0]
     ntx = cdiv(width, TILE_W)
     nty = cdiv(height, TILE_H)
     T = ntx * nty
-    P_alloc = alloc_size(pairs_capacity, T, chunk)
+    P_fin = alloc_size(final_capacity or pairs_capacity, T, chunk)
+    if pairs_capacity >= (1 << 24) or N >= (1 << 24):
+        raise ValueError("f32-exact pair bookkeeping requires "
+                         "pairs_capacity and N < 2^24")
 
     depth_key = jnp.where(visible, depth, jnp.inf)
     g_order = jnp.argsort(depth_key, stable=True)          # (N,) front→back
 
     # Tile rects elementwise in ORIGINAL order, then ONE packed row-gather
     # into depth order (several separate 1-D gathers cost ~1 ms each on
-    # v5e; a multi-column row gather is nearly free).
+    # v5e; a multi-column row gather is nearly free). All columns ride one
+    # f32 table — exact for the integer fields since everything < 2^24.
     cx0, cy0 = center2d[:, 0], center2d[:, 1]
     ex0, ey0 = extent[:, 0], extent[:, 1]
     tx0 = jnp.clip(jnp.floor((cx0 - ex0) / TILE_W).astype(jnp.int32), 0, ntx)
@@ -99,13 +196,23 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
                    0, nty)
     rw0 = jnp.maximum(tx1 - tx0, 0)
     rh0 = jnp.maximum(ty1 - ty0, 0)
-    rtab = jnp.stack([jnp.where(visible, rw0 * rh0, 0), rw0,
-                      ty0 * ntx + tx0], axis=1)[g_order]    # (N, 3)
-    counts, rw, tile0 = rtab[:, 0], rtab[:, 1], rtab[:, 2]
+    counts0 = jnp.where(visible, rw0 * rh0, 0)
+    f32 = jnp.float32
+    cols = [counts0.astype(f32), rw0.astype(f32), tx0.astype(f32),
+            ty0.astype(f32)]
+    if cull_abc is not None:
+        A, B, C = (jax.lax.stop_gradient(x) for x in cull_abc)
+        cols += [A[:, i] for i in range(3)]
+        cols += [B[:, i] for i in range(3)]
+        cols += [C[:, i] for i in range(3)]
+        cols += [cx0, cy0,
+                 jax.lax.stop_gradient(jnp.asarray(rho2max, f32))]
+    rtab = jnp.stack(cols, axis=1)[g_order]                # (N, 4|16)
+    counts = rtab[:, 0].astype(jnp.int32)
+    rw = rtab[:, 1].astype(jnp.int32)
 
     cum = jnp.cumsum(counts)                               # inclusive
     total = cum[-1]
-    num_pairs = total
 
     # Expand pairs into pair_capacity slots. Which Gaussian owns slot s is
     # searchsorted(cum, s, 'right'), but a binary search with 2M queries is
@@ -121,18 +228,26 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     gidx = jax.lax.cummax(seg)
     gidx_c = jnp.minimum(gidx, N - 1)
 
-    # ONE packed row-gather for all per-slot Gaussian attributes.
-    gtab = jnp.stack([starts, jnp.maximum(rw, 1), tile0,
-                      g_order.astype(jnp.int32)], axis=1)   # (N, 4)
-    grec = gtab[gidx_c]                                     # (P, 4)
-    k = slots - grec[:, 0]
-    w_i = grec[:, 1]
+    # ONE packed row-gather for all per-slot Gaussian attributes (the row
+    # width is nearly free — the per-row cost is access-granularity bound).
+    gtab = jnp.concatenate(
+        [starts.astype(f32)[:, None], rtab[:, 1:],
+         g_order.astype(f32)[:, None]], axis=1)            # (N, 5|17)
+    grec = gtab[gidx_c]                                    # (P, 5|17)
+    k = slots - grec[:, 0].astype(jnp.int32)
+    w_i = jnp.maximum(grec[:, 1].astype(jnp.int32), 1)
     dty = _div_floor_f32(k, w_i)
     dtx = k - dty * w_i
     pair_valid = slots < total
-    tile = grec[:, 2] + dty * ntx + dtx
+    g_tx0 = grec[:, 2].astype(jnp.int32)
+    g_ty0 = grec[:, 3].astype(jnp.int32)
+    tile = (g_ty0 + dty) * ntx + (g_tx0 + dtx)
+    pair_gid = grec[:, -1].astype(jnp.int32)
+
+    if cull_abc is not None:
+        pair_valid &= _pair_contributes(
+            grec, g_tx0 + dtx, g_ty0 + dty, width, height)
     tile_key = jnp.where(pair_valid, tile, T).astype(jnp.int32)
-    pair_gid = grec[:, 3]
 
     # Stable sort by tile key; depth order is preserved within each tile.
     # The third operand carries the expansion-order pair index so the
@@ -145,13 +260,14 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     left = jnp.searchsorted(key_sorted, tiles, side="left").astype(jnp.int32)
     right = jnp.searchsorted(key_sorted, tiles, side="right").astype(jnp.int32)
     tile_count = right - left
+    num_pairs = right[-1]                           # post-cull survivors
     padded = cdiv_arr(tile_count, chunk) * chunk
     aligned_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
     padded_total = aligned_start[-1] + padded[-1]   # chunk-padded slot need
-    overflow = (padded_total > P_alloc) | (total > pairs_capacity)
+    overflow = (padded_total > P_fin) | (total > pairs_capacity)
     # Clamp so every tile's padded range fits inside the allocation.
-    avail = jnp.maximum(P_alloc - aligned_start, 0)
+    avail = jnp.maximum(P_fin - aligned_start, 0)
     tile_count = jnp.minimum(tile_count, avail)
 
     # Scatter entries to aligned slots — per-slot tile attributes again via
@@ -168,16 +284,16 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     rank = jnp.arange(pairs_capacity, dtype=jnp.int32) - trec[:, 0]
     new_slot = trec[:, 1] + rank
     entry_ok = (key_sorted < T) & (new_slot < trec[:, 2])
-    new_slot = jnp.where(entry_ok, new_slot, P_alloc)  # dropped if out of range
+    new_slot = jnp.where(entry_ok, new_slot, P_fin)  # dropped if out of range
 
     # One fused scatter: store gid+1 so empty slots read 0 ⇒ invalid.
-    gid1 = jnp.zeros((P_alloc,), jnp.int32).at[new_slot].set(
+    gid1 = jnp.zeros((P_fin,), jnp.int32).at[new_slot].set(
         gid_sorted + 1, mode="drop")
     slot_valid = gid1 > 0
     gid = jnp.maximum(gid1 - 1, 0)
 
-    # expansion pair index → final slot (dropped pairs map to P_alloc)
-    inv = jnp.full((P_alloc,), P_alloc, jnp.int32).at[p_sorted].set(
+    # expansion pair index → final slot (dropped pairs map to P_fin)
+    inv = jnp.full((pairs_capacity,), P_fin, jnp.int32).at[p_sorted].set(
         new_slot, mode="drop")
     seg_start = jnp.minimum(starts, pairs_capacity)
     seg_end = jnp.minimum(cum, pairs_capacity)
@@ -188,6 +304,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         num_pairs=num_pairs, padded_total=padded_total, overflow=overflow,
         inv=inv, seg_start=seg_start, seg_end=seg_end,
         order=g_order.astype(jnp.int32),
+        num_expanded=total,
     )
 
 

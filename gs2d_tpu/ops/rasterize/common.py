@@ -16,6 +16,11 @@ NEAR_N = 0.2                # near plane for per-pixel depth validity & m-map
 FAR_N = 100.0               # far plane for the distortion depth remap
 FILTER_INV_SQUARE = 2.0     # screen-space low-pass: rho2d = 2*d^2 (sigma=1/sqrt(2) px)
 SIGMA_CUTOFF = 3.0          # 3-sigma bounding extent
+CULL_MARGIN = 0.05          # rho^2 safety band for the exact binning cull:
+                            # pairs within the band are kept even though the
+                            # coefficient-form Q and the kernels' 2-FMA form
+                            # round differently (band ≈ 1e-7 relative at the
+                            # cutoff — far beyond f32 noise)
 
 # TPU tile shape: one Pallas program composites a (16, 32) pixel tile,
 # flattened to (1, 512) lanes in tile-major image layout. Near-square

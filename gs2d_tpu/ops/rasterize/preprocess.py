@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from ..quat import normalize_quat, quat_to_rotmat
 from ..sh import eval_sh
 from ..transforms import ndc_to_pix_matrix
-from .common import NEAR_N, SIGMA_CUTOFF
+from .common import (ALPHA_CUTOFF, CULL_MARGIN, FILTER_INV_SQUARE, NEAR_N,
+                     SIGMA_CUTOFF)
 
 
 class PreprocessOut(NamedTuple):
@@ -44,9 +45,14 @@ class PreprocessOut(NamedTuple):
     noise: jnp.ndarray    # (N,3) fork's per-Gaussian noise channel
     # non-differentiable aux (consumed by binning; stop_gradient applied)
     depth: jnp.ndarray    # (N,) camera-space z of the center
-    extent: jnp.ndarray   # (N,2) 3-sigma half extents in px
+    extent: jnp.ndarray   # (N,2) binning half extents in px (see below)
     radii: jnp.ndarray    # (N,) int32 bounding radius in px (0 = culled)
     visible: jnp.ndarray  # (N,) bool
+    # exact-culling aux (stop_gradient): margin-inflated 2*ln(255*alpha);
+    # binning's per-pair tile test evaluates Q(x,y) = P0^2 + P1^2
+    # - rho2max*P2^2 (P_k = A_k + x*B_k + y*C_k) whose <=0 region is
+    # EXACTLY the pixel set passing the kernel's alpha cutoff.
+    rho2max: jnp.ndarray  # (N,)
 
 
 def _cross(a, b):
@@ -115,26 +121,65 @@ def preprocess(
     if screen_offsets is not None:
         A = (A - screen_offsets[..., 0:1] * B - screen_offsets[..., 1:2] * C)
 
-    # Dual-conic bounding ellipse of the homography image of the unit disc.
-    sgn = jnp.asarray([1.0, 1.0, -1.0], means3d.dtype)
-    d = jnp.sum(c2 * c2 * sgn, axis=-1)                  # (N,)
-    d_ok = jnp.abs(d) > 1e-12
-    d_safe = jnp.where(d_ok, d, 1.0)
-    f = sgn / d_safe[..., None]
-    cx = jnp.sum(f * c0 * c2, axis=-1)
-    cy = jnp.sum(f * c1 * c2, axis=-1)
-    tx = jnp.sum(f * c0 * c0, axis=-1)
-    ty = jnp.sum(f * c1 * c1, axis=-1)
-    half2 = jnp.stack([cx * cx - tx, cy * cy - ty], axis=-1)
-    extent = SIGMA_CUTOFF * jnp.sqrt(jnp.maximum(half2, 1e-4))
+    # Dual-conic AABBs of the homography image of a splat-frame disc of
+    # radius r: the dual with sgn = (1, 1, -r^2) gives the EXACT bounding
+    # box of the level set rho3d = r^2 (the reference CUDA instead scales
+    # the unit-disc box by 3 — an approximation that overshoots at low
+    # opacity and can undershoot under strong foreshortening).
+    def _dual_aabb(r2):
+        sgn_r = jnp.stack([jnp.ones_like(r2), jnp.ones_like(r2), -r2], -1)
+        dd = jnp.sum(c2 * c2 * sgn_r, axis=-1)           # (N,)
+        dd_ok = jnp.abs(dd) > 1e-12
+        ff = sgn_r / jnp.where(dd_ok, dd, 1.0)[..., None]
+        cxr = jnp.sum(ff * c0 * c2, axis=-1)
+        cyr = jnp.sum(ff * c1 * c2, axis=-1)
+        txr = jnp.sum(ff * c0 * c0, axis=-1)
+        tyr = jnp.sum(ff * c1 * c1, axis=-1)
+        h2 = jnp.stack([cxr * cxr - txr, cyr * cyr - tyr], axis=-1)
+        return cxr, cyr, h2, dd_ok
+
+    ones_n = jnp.ones_like(opacities.reshape(N))
+    cx, cy, half2, d_ok = _dual_aabb(ones_n)
     center2d = jnp.stack([cx, cy], axis=-1)
+    # legacy 3-sigma extent — kept ONLY for the radii stats channel so
+    # densification heuristics match the reference's screen-radius notion
+    extent3 = SIGMA_CUTOFF * jnp.sqrt(jnp.maximum(half2, 1e-4))
+
+    # Contribution cutoff: alpha = opacity*exp(-rho/2) >= ALPHA_CUTOFF
+    # iff rho <= rho2max := 2*ln(opacity/ALPHA_CUTOFF). Margin absorbs the
+    # coefficient-form vs 2-FMA-form f32 rounding difference in the
+    # kernels so the binning cull never drops a pixel the kernel would
+    # composite.
+    op_n = opacities.reshape(N)
+    rho2max = 2.0 * jnp.log(jnp.maximum(op_n, 1e-12) / ALPHA_CUTOFF) \
+        + CULL_MARGIN
+    rho2m_pos = jnp.maximum(rho2max, 1e-6)
+    cxr, cyr, half2r, dr_ok = _dual_aabb(rho2m_pos)
+    good_r = dr_ok & (half2r[..., 0] > 0) & (half2r[..., 1] > 0)
+    good_r &= jnp.all(jnp.isfinite(half2r), axis=-1)
+    ext_r = jnp.sqrt(jnp.maximum(half2r, 0.0))
+    # Conic box re-centered (symmetrized) around center2d so binning keeps
+    # its (center, extent) rect contract; fall back to the legacy 3-sigma
+    # box when the level conic degenerates (hyperbola/near-parallel).
+    hx = jnp.maximum(jnp.abs(cxr + ext_r[..., 0] - cx),
+                     jnp.abs(cx - (cxr - ext_r[..., 0])))
+    hy = jnp.maximum(jnp.abs(cyr + ext_r[..., 1] - cy),
+                     jnp.abs(cy - (cyr - ext_r[..., 1])))
+    conic_half = jnp.stack([hx, hy], axis=-1)
+    conic_half = jnp.where(good_r[..., None], conic_half, extent3)
+    # Union with the low-pass filter disc: rho2d = FILTER_INV_SQUARE*d^2
+    # <= rho2max reaches d = sqrt(rho2max/FILTER_INV_SQUARE) around
+    # center2d — a floor the 3-sigma box lacks for sub-pixel splats.
+    fr = jnp.sqrt(jnp.maximum(rho2max, 0.0) / FILTER_INV_SQUARE)
+    extent = jnp.maximum(conic_half, fr[..., None])
 
     # camera-space depth of the center (row-vector view transform)
     p_view = jnp.matmul(means3d, world_view[:3, :3], precision=hi) \
         + world_view[3, :3]
     depth = p_view[..., 2]
 
-    visible = (depth > NEAR_N) & d_ok & jnp.all(jnp.isfinite(extent), axis=-1)
+    visible = (depth > NEAR_N) & d_ok & (rho2max > 0.0)
+    visible &= jnp.all(jnp.isfinite(extent), axis=-1)
     # rect-vs-image overlap cull
     visible &= (center2d[..., 0] + extent[..., 0] >= 0.0)
     visible &= (center2d[..., 0] - extent[..., 0] <= width - 1.0)
@@ -143,7 +188,7 @@ def preprocess(
 
     radii = jnp.where(
         visible,
-        jnp.ceil(jnp.max(extent, axis=-1)).astype(jnp.int32),
+        jnp.ceil(jnp.max(extent3, axis=-1)).astype(jnp.int32),
         0,
     )
 
@@ -174,4 +219,5 @@ def preprocess(
         opacity=opacities.reshape(N), rgb=rgb, normal=n_view, noise=noise,
         depth=stop(depth), extent=stop(extent), radii=stop(radii),
         visible=stop(visible),
+        rho2max=stop(rho2max),
     )

@@ -94,4 +94,5 @@ def render(camera: Camera, state: GaussianState, cfg: RasterizeConfig,
         "num_pairs": aux["num_pairs"],
         "overflow": aux["overflow"],
         "padded_total": aux["padded_total"],
+        "num_expanded": aux["num_expanded"],
     }

@@ -71,6 +71,7 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
     assert cams, "no training cameras"
 
     pairs_capacity = rt.pairs_capacity
+    final_capacity = None   # post-cull slot capacity; None -> pairs_capacity
     key = jax.random.PRNGKey(rt.seed)
 
     # jitted step per (W, H) resolution bucket (COLMAP scenes may mix
@@ -80,6 +81,7 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
     def build_step(w, h):
         rcfg = RasterizeConfig(width=w, height=h,
                                pairs_capacity=pairs_capacity,
+                               final_capacity=final_capacity,
                                chunk=rt.chunk, interpret=rt.interpret)
         return make_train_step(
             rcfg, opt, max_sh_degree=model.sh_degree,
@@ -99,6 +101,7 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
     gt_cache = {}
     gt_cache_bytes = 0
     max_padded = 0
+    max_expanded = 0
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
@@ -174,28 +177,36 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
         if iteration % 10 == 0:
             m = jax.device_get({k: metrics[k] for k in (
                 "overflow", "loss", "dist_loss", "normal_loss",
-                "num_points", "padded_total")})
+                "num_points", "padded_total", "num_expanded")})
             max_padded = max(max_padded, int(m["padded_total"]))
+            max_expanded = max(max_expanded, int(m["num_expanded"]))
             # One-shot downward adaptation: small scenes don't pay big-scene
             # binning costs (every slot-proportional op scales with the
             # capacity). A single recompile at iter 100, 4x headroom for
             # densification growth; overflow doubling still applies after.
             if iteration == 100 and rt.pairs_capacity_auto:
-                tight = max(((4 * max_padded + rt.chunk - 1)
+                tight = max(((4 * max_expanded + rt.chunk - 1)
                              // rt.chunk) * rt.chunk, rt.chunk)
-                if tight < pairs_capacity:
-                    pairs_capacity = tight
+                tight_fin = max(((4 * max_padded + rt.chunk - 1)
+                                 // rt.chunk) * rt.chunk, rt.chunk)
+                if tight < pairs_capacity or tight_fin < tight:
+                    pairs_capacity = min(tight, pairs_capacity)
+                    final_capacity = min(tight_fin, pairs_capacity)
                     step_fns.clear()
                     if log_fn:
                         log_fn(iteration,
-                               {"event":
-                                f"pairs_capacity ↓ {pairs_capacity}"})
+                               {"event": f"pairs_capacity ↓ "
+                                f"{pairs_capacity}/{final_capacity}"})
             if bool(m["overflow"]):
                 pairs_capacity *= 2
+                final_capacity = (None if final_capacity is None
+                                  else min(2 * final_capacity,
+                                           pairs_capacity))
                 step_fns.clear()
                 if log_fn:
                     log_fn(iteration,
-                           {"event": f"pairs_capacity → {pairs_capacity}"})
+                           {"event": f"pairs_capacity → "
+                            f"{pairs_capacity}/{final_capacity}"})
             ema["loss"] = 0.4 * float(m["loss"]) + 0.6 * ema["loss"]
             ema["dist"] = (0.4 * float(m["dist_loss"])
                            + 0.6 * ema["dist"])

@@ -86,6 +86,7 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
                 "radii": pkg["radii"], "overflow": pkg["overflow"],
                 "num_pairs": pkg["num_pairs"],
                 "padded_total": pkg["padded_total"],
+                "num_expanded": pkg["num_expanded"],
             }
             return total, aux
 

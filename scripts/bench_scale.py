@@ -29,7 +29,7 @@ import numpy as np
 
 from gs2d_tpu.ops.rasterize.api import (RasterizeConfig, _segment_sum_rows,
                                         pack_entries, rasterize,
-                                        suggest_pairs_capacity)
+                                        suggest_capacities)
 from gs2d_tpu.ops.rasterize.binning import bin_gaussians
 from gs2d_tpu.ops.rasterize.kernel_bwd import rasterize_bwd_pallas
 from gs2d_tpu.ops.rasterize.kernel_fwd import rasterize_fwd_pallas
@@ -54,10 +54,12 @@ def bench_one(n, out_f, n_iters=8):
         m, s, q, o, cam.world_view, cam.full_proj, cam.campos, W, H,
         colors=c))
     pre = pre_fn(means, scales, quats, opac, rgb)
-    cap = suggest_pairs_capacity(pre, W, H)
-    cfg = RasterizeConfig(width=W, height=H, pairs_capacity=cap, chunk=CHUNK)
-    rec = {"n_gaussians": n, "width": W, "height": H, "pairs_capacity": cap}
-    print(f"[N={n}] capacity {cap}", flush=True)
+    cap, fin_cap = suggest_capacities(pre, W, H)
+    cfg = RasterizeConfig(width=W, height=H, pairs_capacity=cap,
+                          final_capacity=fin_cap, chunk=CHUNK)
+    rec = {"n_gaussians": n, "width": W, "height": H, "pairs_capacity": cap,
+           "final_capacity": fin_cap}
+    print(f"[N={n}] capacity {cap} final {fin_cap}", flush=True)
 
     # ---- stage: preprocess (chained via means feedback) --------------
     def step_pre(m):
@@ -68,7 +70,9 @@ def bench_one(n, out_f, n_iters=8):
 
     # ---- stage: binning (consume gid/inv/tile tables) -----------------
     bin_fn = jax.jit(lambda c2, ex, dp, vis: bin_gaussians(
-        c2, ex, dp, vis, W, H, cap, CHUNK))
+        c2, ex, dp, vis, W, H, cap, CHUNK,
+        cull_abc=(pre.A, pre.B, pre.C),
+        rho2max=pre.rho2max, final_capacity=fin_cap))
 
     def step_bin(c2):
         b = bin_fn(c2, pre.extent, pre.depth, pre.visible)
@@ -81,6 +85,7 @@ def bench_one(n, out_f, n_iters=8):
 
     bins = bin_fn(pre.center2d, pre.extent, pre.depth, pre.visible)
     rec["num_pairs"] = int(bins.num_pairs)
+    rec["num_expanded"] = int(bins.num_expanded)
     rec["padded_total"] = int(bins.padded_total)
     rec["overflow"] = bool(bins.overflow)
     print(f"[N={n}] pairs {rec['num_pairs']} padded {rec['padded_total']}",
