@@ -11,13 +11,16 @@ classifier-free guidance (text / image / uncond), including the fork's
 "intermediate" (fused-skip) and "cfg" rendered-noise modes.
 
 Backends:
- * "diffusers" — loads timbrooks/instruct-pix2pix via diffusers; requires
-   the package + local weights (unavailable in a zero-egress image; init
-   raises with instructions).
+ * "jax" — the real editor: SD-1.5/IP2P UNet + VAE implemented in jnp
+   (sdnet.py/vae.py), weight-gated on a local diffusers snapshot
+   ($GS2D_SD_WEIGHTS; the zero-egress image ships no checkpoints). Runs
+   the fork's intermediate/fused-skip UNet modes and FreeU natively.
  * "stub" — a deterministic latent-identity backend (pixel-space
    "latents", an ε-predictor that nudges toward the conditioning image)
    so the entire editing control flow is exercisable in tests and
    plumbing runs without SD weights.
+ * any object implementing the backend protocol (tests pass a
+   JaxSDBackend built with tiny random weights).
 """
 
 from __future__ import annotations
@@ -47,6 +50,12 @@ class IP2PParams:
     noise_reg: str = "None"
     freeu_mode: str = "None"      # None|intermediate|intermediate-reverse|cfg|cfg-simple
     lambda_intermediate: float = 0.5
+    # FreeU backbone/skip scaling (reference ip2p.py:165-168)
+    is_freeu: bool = False
+    freeu_s1: float = 0.9
+    freeu_s2: float = 0.2
+    freeu_b1: float = 1.2
+    freeu_b2: float = 1.4
     noise_guidance_scale: float = 0.0
     noise_guidance_scale2: float = 0.0
     is_noise_calibration: bool = False
@@ -78,35 +87,148 @@ class StubBackend:
             return eps, eps, eps     # text / image / uncond
         return predict
 
+    def make_fused_predictor(self, schedule, image_cond_latents,
+                             text_embeddings, lam):
+        """Fused-skip analog for the stub: λ-blend the two ε estimates."""
+        predict = self.make_eps_predictor(schedule, image_cond_latents,
+                                          text_embeddings)
 
-class DiffusersBackend:
-    def __init__(self, device: str = "cpu"):
-        try:
-            from diffusers import (DDIMScheduler,
-                                   StableDiffusionInstructPix2PixPipeline)
-        except ImportError as e:
-            raise RuntimeError(
-                "diffusers is not installed; the IG2G editing path needs "
-                "diffusers + the timbrooks/instruct-pix2pix checkpoint "
-                "(set HF_HOME to a local snapshot). The stub backend "
-                "exercises the pipeline without them.") from e
-        self.pipe = StableDiffusionInstructPix2PixPipeline.from_pretrained(
-            "timbrooks/instruct-pix2pix")
-        self.pipe.scheduler = DDIMScheduler.from_pretrained(
-            "CompVis/stable-diffusion-v1-4", subfolder="scheduler")
-        raise NotImplementedError(
-            "torch-side denoising loop: run the reference pipeline via "
-            "diffusers directly; this framework's jnp loop drives the "
-            "stub or a jax UNet.")
+        def predict_fused(latents_backbone, latents_skips, t):
+            e1 = predict(latents_backbone, t)
+            e2 = predict(latents_skips, t)
+            return tuple(a * (1.0 - lam) + b * lam
+                         for a, b in zip(e1, e2))
+        return predict_fused
+
+
+class JaxSDBackend:
+    """The real editor: SD-1.5/InstructPix2Pix UNet + VAE in jnp
+    (sdnet.py / vae.py), weight-gated on a local diffusers snapshot
+    (sd_weights.py; zero-egress image ships no checkpoints).
+
+    ``unet_params``/``vae_params`` may be passed directly (tests use tiny
+    random configs); otherwise they are loaded from ``weights_root`` /
+    $GS2D_SD_WEIGHTS. Matches the reference wrapper's VAE conventions
+    (/root/reference/ig2g/ip2p.py:403-504): posterior-sample for the
+    edited image, mode for conditioning (unscaled), 0.18215 latent scale
+    handled by the caller/decode split exactly like the torch code.
+    """
+
+    def __init__(self, weights_root: Optional[str] = None,
+                 unet_cfg=None, vae_cfg=None,
+                 unet_params: Optional[dict] = None,
+                 vae_params: Optional[dict] = None,
+                 freeu: Optional[object] = None, seed: int = 0):
+        from .sdnet import SD15_IP2P_UNET
+        from .vae import SD15_VAE
+        self.unet_cfg = unet_cfg or SD15_IP2P_UNET
+        self.vae_cfg = vae_cfg or SD15_VAE
+        if unet_params is None or vae_params is None:
+            from . import sd_weights
+            root = sd_weights.weights_root(weights_root)
+            if root is None:
+                raise FileNotFoundError(
+                    "no SD weights: set $GS2D_SD_WEIGHTS to a diffusers "
+                    "snapshot of timbrooks/instruct-pix2pix, or pass "
+                    "unet_params/vae_params explicitly")
+            unet_params = unet_params or sd_weights.load_unet(
+                root, self.unet_cfg)
+            vae_params = vae_params or sd_weights.load_vae(
+                root, self.vae_cfg)
+        self.unet_params = unet_params
+        self.vae_params = vae_params
+        self.freeu = freeu
+        self._key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self._jit_unet = jax.jit(self._unet_raw)
+        self._jit_unet_fused = jax.jit(self._unet_fused_raw,
+                                       static_argnames=("lam",))
+        self._jit_decode = jax.jit(self._decode_raw)
+        self._jit_encode_moments = jax.jit(self._encode_moments_raw)
+
+    # -- VAE boundary ----------------------------------------------------
+    def _encode_moments_raw(self, img):
+        from .vae import vae_encode_moments
+        return vae_encode_moments(self.vae_cfg, self.vae_params,
+                                  img * 2.0 - 1.0)
+
+    def encode(self, img):
+        """Posterior sample (reference imgs_to_latent), unscaled."""
+        mean, logvar = self._jit_encode_moments(img)
+        self._key, sub = jax.random.split(self._key)
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        return mean + std * jax.random.normal(sub, mean.shape)
+
+    def encode_mode(self, img):
+        """Posterior mode (reference prepare_image_latents), unscaled."""
+        return self._jit_encode_moments(img)[0]
+
+    def _decode_raw(self, lat):
+        from .vae import SD_LATENT_SCALE, vae_decode
+        img = vae_decode(self.vae_cfg, self.vae_params,
+                         lat / SD_LATENT_SCALE)
+        return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+    def decode(self, lat):
+        return self._jit_decode(lat)
+
+    # -- UNet boundary ---------------------------------------------------
+    def _unet_raw(self, latents3, cond3, ctx3, t):
+        from .sdnet import unet_apply
+        x = jnp.concatenate([latents3, cond3], axis=1)   # (3, 8, h, w)
+        return unet_apply(self.unet_cfg, self.unet_params, x, t, ctx3,
+                          freeu=self.freeu)
+
+    def _unet_fused_raw(self, latents3, skips_src3, cond3, ctx3, t, lam):
+        from .sdnet import unet_apply_fused, unet_apply_intermediate
+        x_skips = jnp.concatenate([skips_src3, cond3], axis=1)
+        skips2 = unet_apply_intermediate(self.unet_cfg, self.unet_params,
+                                         x_skips, t, ctx3)
+        x = jnp.concatenate([latents3, cond3], axis=1)
+        return unet_apply_fused(self.unet_cfg, self.unet_params, x, skips2,
+                                lam, t, ctx3, freeu=self.freeu)
+
+    def make_eps_predictor(self, schedule, image_cond_latents,
+                           text_embeddings):
+        cond3 = image_cond_latents
+
+        def predict(latents, t):
+            lat3 = jnp.concatenate([latents] * 3, axis=0)
+            eps = self._jit_unet(lat3, cond3, text_embeddings,
+                                 jnp.int32(t))
+            return eps[0:1], eps[1:2], eps[2:3]
+        return predict
+
+    def make_fused_predictor(self, schedule, image_cond_latents,
+                             text_embeddings, lam):
+        """The fork's forward_intermediate + forward_fused pair
+        (unet_2d_condition.py:1552,1795): skips from one pass, backbone
+        from the other, blended res1*(1-λ)+res2*λ."""
+        cond3 = image_cond_latents
+
+        def predict_fused(latents_backbone, latents_skips, t):
+            b3 = jnp.concatenate([latents_backbone] * 3, axis=0)
+            s3 = jnp.concatenate([latents_skips] * 3, axis=0)
+            eps = self._jit_unet_fused(b3, s3, cond3, text_embeddings,
+                                       jnp.int32(t), float(lam))
+            return eps[0:1], eps[1:2], eps[2:3]
+        return predict_fused
 
 
 class InstructPix2Pix:
-    def __init__(self, params: IP2PParams, backend: str = "stub",
-                 seed: int = 0):
+    def __init__(self, params: IP2PParams, backend="stub", seed: int = 0):
         self.p = params
         self.schedule = DDIMSchedule()
-        self.backend = StubBackend() if backend == "stub" \
-            else DiffusersBackend()
+        if backend == "stub":
+            self.backend = StubBackend()
+        elif backend == "jax":
+            freeu = None
+            if params.is_freeu:
+                from .sdnet import FreeUParams
+                freeu = FreeUParams(s1=params.freeu_s1, s2=params.freeu_s2,
+                                    b1=params.freeu_b1, b2=params.freeu_b2)
+            self.backend = JaxSDBackend(freeu=freeu, seed=seed)
+        else:
+            self.backend = backend    # pre-built backend object (tests)
         self.key = jax.random.PRNGKey(seed)
         self.num_train_timesteps = 1000
 
@@ -175,8 +297,30 @@ class InstructPix2Pix:
                 p.noise_calibration_scale_is_low,
                 p.noise_calibration_steps)
 
+        fused = None
+        if p.freeu_mode in ("intermediate", "intermediate-reverse") \
+                and latents_rendered is not None:
+            fused = self.backend.make_fused_predictor(
+                self.schedule, image_cond_latents, text_embeddings,
+                p.lambda_intermediate)
+
         for t in self.schedule.timesteps:
             t = int(t)
+            if fused is not None:
+                # "intermediate": backbone = gaussian-noised latents,
+                # skips = rendered-noise latents; "-reverse" swaps them
+                # (reference ip2p.py:321-343; latents_rendered stays fixed
+                # through the loop, as in the fork).
+                if p.freeu_mode == "intermediate":
+                    e_text, e_image, e_uncond = fused(
+                        latents, latents_rendered, t)
+                else:
+                    e_text, e_image, e_uncond = fused(
+                        latents_rendered, latents, t)
+                eps = cfg_combine(e_text, e_image, e_uncond,
+                                  p.guidance_scale, p.image_guidance_scale)
+                latents = self.schedule.step(eps, t, latents)
+                continue
             e_text, e_image, e_uncond = predict(latents, t)
             if p.freeu_mode in ("cfg", "cfg-simple") \
                     and latents_rendered is not None:

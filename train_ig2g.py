@@ -42,8 +42,8 @@ def main():
     ap.add_argument("--noise_reg", type=str, default="None")
     ap.add_argument("--freeu_mode", type=str, default="None")
     ap.add_argument("--lambda_intermediate", type=float, default=0.5)
-    ap.add_argument("--editor", choices=["stub", "diffusers"],
-                    default="stub")
+    ap.add_argument("--editor", choices=["stub", "jax"], default="stub",
+                help="jax = real SD UNet+VAE (needs $GS2D_SD_WEIGHTS)")
     ap.add_argument("--save_edited", action="store_true")
     ap.add_argument("--wandb", action="store_true",
                     help="log to Weights & Biases (reference parity, "
@@ -105,6 +105,19 @@ def main():
         lambda_intermediate=args.lambda_intermediate,
     ), backend=args.editor, seed=rt.seed)
 
+    # prompt conditioning: the jax editor needs real CLIP embeddings
+    # (reference pipe._encode_prompt, train_ig2g.py:236-242); the stub
+    # ignores them
+    text_embeddings = None
+    if args.editor == "jax":
+        from gs2d_tpu.ig2g.clip_text import PromptEncoder
+        from gs2d_tpu.ig2g.sd_weights import ENV_VAR, weights_root
+        root = weights_root()
+        if root is None:
+            raise SystemExit(f"--editor jax needs {ENV_VAR} pointing at a "
+                             "diffusers snapshot")
+        text_embeddings = PromptEncoder(root).encode(args.text_prompt)
+
     scene = Scene(model, capacity=rt.initial_capacity, seed=rt.seed)
     cams = scene.get_train_cameras()
     for c in cams:                       # clone_edited_images (:103-107)
@@ -154,7 +167,8 @@ def main():
             rendered = jnp.clip(pkg["render"], 0, 1)[None]
             rend_noise = pkg["rend_noise"][None]
             original = jnp.asarray(cam_data.image)[None]
-            edited = ip2p.edit_image(None, rendered, original, rend_noise)
+            edited = ip2p.edit_image(text_embeddings, rendered, original,
+                                     rend_noise)
             cam_data.edited_image = np.asarray(edited[0])
             ip2p_iteration += 1
             if args.save_edited:
