@@ -141,7 +141,7 @@ def _segment_sum_rows(d_pairs: jnp.ndarray, seg_start: jnp.ndarray,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _core(cfg: RasterizeConfig, packed, gid, inv, seg_start, seg_end,
           order, tile_start, tile_count):
-    entries = packed[gid].T
+    entries = packed[gid]       # (P, F) rows — the kernels' wire format
     out, _ = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
@@ -151,7 +151,7 @@ def _core(cfg: RasterizeConfig, packed, gid, inv, seg_start, seg_end,
 
 def _core_fwd(cfg, packed, gid, inv, seg_start, seg_end, order,
               tile_start, tile_count):
-    entries = packed[gid].T
+    entries = packed[gid]
     out, med_idx = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
@@ -165,19 +165,19 @@ def _core_bwd(cfg, res, g):
 
     (entries, inv, seg_start, seg_end, order, tile_start, tile_count,
      out, med_idx) = res
-    P_alloc = entries.shape[1]
+    P_alloc = entries.shape[0]
     N = order.shape[0]
     d_raw = rasterize_bwd_pallas(
         entries, tile_start, tile_count, out, g, med_idx,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
-        interpret=cfg.interpret)
+        interpret=cfg.interpret)                               # (P, 24) rows
     # slot order → expansion order (dropped pairs contribute zero; padding
     # slots — including never-DMA-written ones — are simply never gathered)
     ok = inv < P_alloc
-    d_pairs = d_raw.T[jnp.where(ok, inv, 0)]
+    d_pairs = d_raw[jnp.where(ok, inv, 0)]
     d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
     d_sorted = _segment_sum_rows(d_pairs, seg_start, seg_end)   # (N, 24)
-    d_packed = jnp.zeros((N, d_raw.shape[0]), d_raw.dtype).at[order].set(
+    d_packed = jnp.zeros((N, d_raw.shape[1]), d_raw.dtype).at[order].set(
         d_sorted)
     return d_packed, None, None, None, None, None, None, None
 

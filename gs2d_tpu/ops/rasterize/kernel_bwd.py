@@ -121,16 +121,18 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
     state[1:2] = border
 
     def dma_in(slot, ci):
+        # row-major (P_alloc, ENTRY_F): contiguous chunk slices (see
+        # kernel_fwd.dma)
         off = pl.multiple_of(start + ci * chunk, 128)
         return pltpu.make_async_copy(
-            entries.at[:, pl.ds(off, chunk)],
+            entries.at[pl.ds(off, chunk), :],
             ebuf.at[slot], sem_r.at[slot])
 
     def dma_out(slot, ci):
         off = pl.multiple_of(start + ci * chunk, 128)
         return pltpu.make_async_copy(
             wbuf.at[slot],
-            d_entries.at[:, pl.ds(off, chunk)],
+            d_entries.at[pl.ds(off, chunk), :],
             sem_w.at[slot])
 
     # Grand total Σ_j w_j·dw_j in closed form from outputs × cotangents;
@@ -169,7 +171,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
         def _():
             # tile saturated earlier: every remaining gradient is zero,
             # but the slots must still be written (consumed by segment-sum)
-            wbuf[slot] = jnp.zeros((ENTRY_F, chunk), jnp.float32)
+            wbuf[slot] = jnp.zeros((chunk, ENTRY_F), jnp.float32)
 
         @pl.when(was_done == 0)
         def _():
@@ -179,7 +181,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
         return 0
 
     def _bwd_compute(ci, slot):
-        e = jnp.transpose(ebuf[slot])
+        e = ebuf[slot]                     # (chunk, ENTRY_F) rows
         (geom, a_eff, l2, cross, T_before, w, live, zs, m) = \
             _recompute_chunk(e, px, py, ci, chunk, count, state)
 
@@ -241,7 +243,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
             red(w * g[10:11]), red(w * g[11:12]), red(w * g[12:13]),  # dnoise
         ]
         d_chunk = jnp.concatenate(cols, axis=1)              # (chunk, 24)
-        wbuf[slot] = jnp.transpose(d_chunk)                  # (24, chunk)
+        wbuf[slot] = d_chunk                                 # rows, no transpose
 
         # state updates
         state[2:3] += jnp.sum(wdw, axis=0, keepdims=True)
@@ -270,13 +272,13 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
                          g_tiles: jnp.ndarray, med_tiles: jnp.ndarray, *,
                          width: int, height: int, chunk: int = 128,
                          interpret: bool = False) -> jnp.ndarray:
-    """Per-entry gradients: returns d_entries with the same SoA layout
-    (ENTRY_F, P_alloc) as the forward's entries input."""
+    """Per-entry gradients: returns d_entries with the same row-major
+    layout (P_alloc, ENTRY_F) as the forward's entries input."""
     if not interpret:
         assert chunk % 128 == 0
     ntx = cdiv(width, TILE_W)
     T = out_tiles.shape[0]
-    P_alloc = entries.shape[1]
+    P_alloc = entries.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -292,8 +294,8 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((NUM_STATE, TILE_PX), jnp.float32),
-            pltpu.VMEM((2, ENTRY_F, chunk), jnp.float32),
-            pltpu.VMEM((2, ENTRY_F, chunk), jnp.float32),
+            pltpu.VMEM((2, chunk, ENTRY_F), jnp.float32),
+            pltpu.VMEM((2, chunk, ENTRY_F), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
@@ -304,7 +306,7 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ENTRY_F, P_alloc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P_alloc, ENTRY_F), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_count, entries, out_tiles, g_tiles, med_tiles)

@@ -102,3 +102,13 @@ def mxu_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
+
+
+def mxu_dot_t(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """aᵀ @ b on the MXU: contracts dim 0 of both operands — the form the
+    row-major (chunk, F) entry layout feeds directly, without a VMEM
+    transpose of the payload columns."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)

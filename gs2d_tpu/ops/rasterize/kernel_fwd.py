@@ -2,8 +2,9 @@
 
 One grid program composites one (TILE_H, TILE_W) pixel tile (16x32 —
 near-square tiles minimize per-splat pixel work), flattened to TILE_PX
-lanes. Entries (depth-sorted, CHUNK-aligned per tile — see
-binning.py) are streamed HBM→VMEM with double-buffered async DMA.
+lanes. Entries (depth-sorted, CHUNK-aligned per tile — see binning.py)
+are row-major (P, ENTRY_F) — each chunk slice is one contiguous HBM
+region — streamed HBM→VMEM with double-buffered async DMA.
 
 TPU-native compositing: instead of a per-splat sequential loop (the CUDA
 shape), each CHUNK of splats is composited in closed form —
@@ -41,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import (ENTRY_F, NUM_OUT, T_EPS, TILE_H, TILE_PX, TILE_W, cdiv)
 from .kernel_common import (chunk_geometry, entry_validity, mapped_depth,
-                            mxu_dot, prefix_scan_incl)
+                            mxu_dot_t, prefix_scan_incl)
 
 LOG_T_EPS = math.log(T_EPS)
 NUM_STATE = 16
@@ -74,12 +75,14 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
     state[15:16] = -jnp.ones((1, TILE_PX), jnp.float32)
 
     def dma(slot, ci):
-        # entries is SoA (ENTRY_F, P_alloc): lane-dim slices start at
-        # chunk-aligned offsets (chunk % 128 == 0 on hardware), satisfying
-        # Mosaic's 128-lane slice alignment for HBM→VMEM DMA.
+        # entries is row-major (P_alloc, ENTRY_F): a chunk slice is one
+        # CONTIGUOUS 12 KB HBM region (no strided SoA walk), and the
+        # 128-aligned offsets satisfy sublane slicing. Row layout also
+        # kills the host-side (P,F)→(F,P) transpose after the expansion
+        # gather AND the per-chunk VMEM transpose the compute needed.
         off = pl.multiple_of(start + ci * chunk, 128)
         return pltpu.make_async_copy(
-            entries.at[:, pl.ds(off, chunk)],
+            entries.at[pl.ds(off, chunk), :],
             ebuf.at[slot],
             sem.at[slot],
         )
@@ -107,7 +110,7 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
 
         @pl.when(done_flag[0] == 0)
         def _():
-            e = jnp.transpose(ebuf[slot])  # (ENTRY_F, chunk) → (chunk, F)
+            e = ebuf[slot]                 # (chunk, ENTRY_F) rows
 
             geom = chunk_geometry(e, px, py)
             crossed_in = state[1:2]
@@ -143,9 +146,9 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
                 state[15:16])
 
             # all 9 color/normal/noise accumulations as ONE MXU matmul —
-            # the SoA buffer rows 15:24 are already (9, chunk), contract
-            # the chunk axis against w; overlaps with the VPU work
-            acc9 = mxu_dot(ebuf[slot][15:24], w)     # (9, TILE_PX)
+            # contract the chunk axis of the (chunk, 9) payload columns
+            # against w; overlaps with the VPU work
+            acc9 = mxu_dot_t(e[:, 15:24], w)         # (9, TILE_PX)
             state[2:5] += acc9[0:3]
             state[6:9] += acc9[3:6]
             state[10:13] += acc9[6:9]
@@ -186,7 +189,7 @@ def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
                          tile_count: jnp.ndarray, *, width: int, height: int,
                          chunk: int = 128,
                          interpret: bool = False) -> jnp.ndarray:
-    """entries (ENTRY_F, P_alloc) f32 SoA → (out, med_idx):
+    """entries (P_alloc, ENTRY_F) f32 rows → (out, med_idx):
     out (T, NUM_OUT, TILE_PX) f32; med_idx (T, 1, TILE_PX) f32 carries the
     per-pixel median contributor's tile-local slot (backward-only aux)."""
     if not interpret:
@@ -206,7 +209,7 @@ def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
         ),
         scratch_shapes=[
             pltpu.VMEM((NUM_STATE, TILE_PX), jnp.float32),
-            pltpu.VMEM((2, ENTRY_F, chunk), jnp.float32),
+            pltpu.VMEM((2, chunk, ENTRY_F), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
         ],

@@ -213,12 +213,21 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
             ema["normal"] = (0.4 * float(m["normal_loss"])
                              + 0.6 * ema["normal"])
             if log_fn:
-                log_fn(iteration, {
+                rec = {
                     "loss": ema["loss"], "dist": ema["dist"],
                     "normal": ema["normal"],
                     "points": int(m["num_points"]),
                     "elapsed_s": time.time() - t_start,
-                })
+                }
+                if iteration % 500 == 0:
+                    try:  # device allocator stats (absent on some backends)
+                        ms = jax.local_devices()[0].memory_stats() or {}
+                        if "peak_bytes_in_use" in ms:
+                            rec["peak_hbm_gb"] = (
+                                ms["peak_bytes_in_use"] / 2**30)
+                    except Exception:
+                        pass
+                log_fn(iteration, rec)
         if report_fn and iteration in test_iterations:
             report_fn(iteration, ts, scene)
         if iteration in save_iterations and scene.model_path and io_ok:

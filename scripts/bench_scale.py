@@ -91,19 +91,19 @@ def bench_one(n, out_f, n_iters=8):
     print(f"[N={n}] pairs {rec['num_pairs']} padded {rec['padded_total']}",
           flush=True)
 
-    # ---- stage: expansion gather (packed[gid].T) ----------------------
+    # ---- stage: expansion gather (packed[gid] rows) -------------------
     packed = jax.jit(pack_entries)(pre)
     gid = bins.gid
 
     @jax.jit
     def step_gather(p):
-        e = p[gid].T
-        return p + 1e-30 * jnp.sum(e[:, ::1013])
+        e = p[gid]
+        return p + 1e-30 * jnp.sum(e[::1013])
     dt, _ = timed_loop(step_gather, packed, n=n_iters)
     rec["t_gather_ms"] = dt * 1e3
 
     # ---- stage: fwd kernel --------------------------------------------
-    entries = jax.jit(lambda p: p[gid].T)(packed)
+    entries = jax.jit(lambda p: p[gid])(packed)
     ts, tc = bins.tile_start, bins.tile_count
 
     @jax.jit
@@ -132,16 +132,16 @@ def bench_one(n, out_f, n_iters=8):
     d_raw = jnp.ones_like(entries)
     inv, seg_s, seg_e, order = bins.inv, bins.seg_start, bins.seg_end, \
         bins.order
-    P_alloc = entries.shape[1]
+    P_alloc = entries.shape[0]
     N = order.shape[0]
 
     @jax.jit
     def step_bglue(d):
         ok = inv < P_alloc
-        d_pairs = d.T[jnp.where(ok, inv, 0)]
+        d_pairs = d[jnp.where(ok, inv, 0)]
         d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
         d_sorted = _segment_sum_rows(d_pairs, seg_s, seg_e)
-        d_packed = jnp.zeros((N, d.shape[0]), d.dtype).at[order].set(d_sorted)
+        d_packed = jnp.zeros((N, d.shape[1]), d.dtype).at[order].set(d_sorted)
         return d + 1e-30 * jnp.sum(d_packed[::503])
     dt, _ = timed_loop(step_bglue, d_raw, n=n_iters)
     rec["t_bwd_glue_ms"] = dt * 1e3

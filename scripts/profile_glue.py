@@ -53,7 +53,7 @@ def run(W, H, N, pairs_cap, label):
         gid = (jax.lax.optimization_barrier(bins.gid) if barrier_gid
                else bins.gid)
         g = packed[gid]
-        if transpose:
+        if transpose and not kernel:
             g = g.T
         if kernel:
             out, _ = rasterize_fwd_pallas(
@@ -64,7 +64,7 @@ def run(W, H, N, pairs_cap, label):
                 return chain(jnp.sum(img[:, ::64, ::64]), args)
             return chain(jnp.sum(out[:, :, :8]), args)
         return chain(jnp.sum(g[:, :8]) if not transpose
-                     else jnp.sum(g[:, :128]), args)
+                     else jnp.sum(g[:, :128]), args)  # row/col slice resp.
 
     import functools
     steps = {

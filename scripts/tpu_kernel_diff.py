@@ -45,7 +45,7 @@ def build():
     bins = jax.jit(lambda p: bin_gaussians(
         p.center2d, p.extent, p.depth, p.visible, W, H, 1 << 17, 128))(pre)
     packed = jax.jit(pack_entries)(pre)
-    entries = np.asarray(packed)[np.asarray(bins.gid)].T
+    entries = np.asarray(packed)[np.asarray(bins.gid)]
     entries = np.ascontiguousarray(entries.astype(np.float32))
     ts = np.asarray(bins.tile_start)
     tc = np.asarray(bins.tile_count)
@@ -91,9 +91,9 @@ def compare():
     # (the API masks the rest with slot_valid before the segment-sum)
     ts_a, tc_a = d["ts"].astype(np.int64), d["tc"].astype(np.int64)
     written = int((ts_a + -(-tc_a // 128) * 128).max())
-    de_hw = de_hw[:, :written]
-    de_cpu = de_cpu[:, :written]
-    scale = np.maximum(np.abs(de_cpu).max(axis=1, keepdims=True), 1e-6)
+    de_hw = de_hw[:written]
+    de_cpu = de_cpu[:written]
+    scale = np.maximum(np.abs(de_cpu).max(axis=0, keepdims=True), 1e-6)
     rel = np.abs(de_hw - de_cpu) / scale
     print(f"bwd d_entries ({written} written slots): "
           f"max rel-to-fieldmax {rel.max():.3e} "

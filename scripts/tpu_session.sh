@@ -1,0 +1,26 @@
+#!/bin/bash
+# One-shot TPU measurement session. Run as:  bash scripts/tpu_session.sh
+# Runs every queued TPU measurement sequentially in ONE process window
+# (the axon tunnel tolerates exactly one TPU process at a time; compile
+# costs vary wildly between sessions — see memory/tpu-axon-quirks).
+# Logs land in /tmp/tpu_session/.
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/tpu_session
+mkdir -p $OUT
+
+run() { # name, timeout_s, cmd...
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date +%T)) ===" | tee -a $OUT/session.log
+  timeout "$to" "$@" >$OUT/$name.log 2>&1
+  echo "    exit=$? ($(date +%T))" | tee -a $OUT/session.log
+}
+
+# 0. sanity: kernels on hardware agree with interpret/oracle
+run smoke      1800 python scripts/tpu_smoke_fwd.py
+# 1. primitive cost map at the 1M-splat scene (the glue attack's compass)
+run glue3      3600 python scripts/profile_glue3.py
+run glue2      3600 python scripts/profile_glue2.py
+# 2. post-layout-change scale bench at 1M (appends to PERF_scale.jsonl)
+run scale1m    3600 python scripts/bench_scale.py 1000000
+echo "=== done ($(date +%T)) ===" | tee -a $OUT/session.log

@@ -69,6 +69,10 @@ def main():
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--run_log", type=str, default=None,
+                        help="append one JSON line per logging tick "
+                        "(loss/points/elapsed/peak HBM) — the committed "
+                        "artifact of at-scale runs")
     parser.add_argument("--detect_anomaly", action="store_true",
                         help="jax_debug_nans: fail loudly at the first "
                              "NaN-producing op (reference train.py:260)")
@@ -152,8 +156,14 @@ def main():
 
     bar = tqdm(total=opt.iterations, desc="Training", disable=not main_proc)
     last = [0]
+    run_log_f = (open(args.run_log, "a", buffering=1)
+                 if args.run_log and main_proc else None)
 
     def log_fn(iteration, info):
+        if run_log_f is not None:
+            import json as _json
+            run_log_f.write(_json.dumps(
+                {"iter": iteration, **info}) + "\n")
         if "event" in info:
             if main_proc:
                 bar.write(f"[{iteration}] {info['event']}")
