@@ -85,27 +85,38 @@ def preprocess(
     su = scales[..., 0:1] * scale_modifier
     sv = scales[..., 1:2] * scale_modifier
 
-    # splat2world rows [0,1,3] in row-vector form: (N,3,4)
-    ones = jnp.ones((N, 1), means3d.dtype)
-    zeros = jnp.zeros((N, 1), means3d.dtype)
-    row0 = jnp.concatenate([su * t_u, zeros], axis=-1)
-    row1 = jnp.concatenate([sv * t_v, zeros], axis=-1)
-    row2 = jnp.concatenate([means3d, ones], axis=-1)
-    m_splat = jnp.stack([row0, row1, row2], axis=-2)    # (N,3,4)
-
     ndc2pix = jnp.asarray(ndc_to_pix_matrix(width, height), means3d.dtype)
-    # Precision.HIGHEST on every geometry matmul: the TPU default
-    # single-pass bf16 MXU rounding perturbs the homography by ~1e-3
-    # relative, visibly shifting every composited pixel vs the oracle
-    # (verified on v5e: widespread ~4e-3 image deviations without it).
+    # The 4x4 constant product stays a true matmul (tiny, one-off);
+    # everything batched over N is expanded to explicit FMAs below.
     hi = jax.lax.Precision.HIGHEST
     world2pix = jnp.matmul(full_proj, ndc2pix, precision=hi)  # row-vector
     w2p = world2pix[:, jnp.array([0, 1, 3])]             # (4,3): x̃, ỹ, w̃
-    Tm = jnp.matmul(m_splat, w2p, precision=hi)          # (N,3,3)
 
-    c0 = Tm[..., :, 0]
-    c1 = Tm[..., :, 1]
-    c2 = Tm[..., :, 2]
+    # Batched tiny matmuls ((N,3,4)@(4,3), (N,3)@(3,3)) are poison on TPU:
+    # XLA maps them to the MXU where each 3x4 operand pads to a 128x128
+    # tile (~0.1% utilization), and f32 needs the multi-pass HIGHEST
+    # decomposition on top. With static inner dims the contraction is
+    # just 4 broadcast FMAs on the VPU — fully fusable AND exact f32
+    # (better than MXU HIGHEST, which still rounds through bf16 passes).
+    def _rows_w2p(r3, affine_w=None):
+        """[r3 | w] @ w2p for row-vector r3 (N,3); w in {0, 1}."""
+        out = []
+        for j in range(3):
+            acc = r3[..., 0] * w2p[0, j] + r3[..., 1] * w2p[1, j] \
+                + r3[..., 2] * w2p[2, j]
+            if affine_w is not None:
+                acc = acc + affine_w * w2p[3, j]
+            out.append(acc)
+        return out  # 3 arrays (N,)
+
+    one_w = jnp.ones((), means3d.dtype)
+    Tr0 = _rows_w2p(su * t_u)                            # row0: [su·t_u | 0]
+    Tr1 = _rows_w2p(sv * t_v)                            # row1: [sv·t_v | 0]
+    Tr2 = _rows_w2p(means3d, affine_w=one_w)             # row2: [mean | 1]
+    # columns of Tm as (N,3) vectors: c_j = (Tr0[j], Tr1[j], Tr2[j])
+    c0 = jnp.stack([Tr0[0], Tr1[0], Tr2[0]], axis=-1)
+    c1 = jnp.stack([Tr0[1], Tr1[1], Tr2[1]], axis=-1)
+    c2 = jnp.stack([Tr0[2], Tr1[2], Tr2[2]], axis=-1)
     A = _cross(c0, c1)
     B = _cross(c1, c2)
     C = _cross(c2, c0)
@@ -173,9 +184,19 @@ def preprocess(
     fr = jnp.sqrt(jnp.maximum(rho2max, 0.0) / FILTER_INV_SQUARE)
     extent = jnp.maximum(conic_half, fr[..., None])
 
-    # camera-space depth of the center (row-vector view transform)
-    p_view = jnp.matmul(means3d, world_view[:3, :3], precision=hi) \
-        + world_view[3, :3]
+    # camera-space depth of the center (row-vector view transform);
+    # elementwise FMAs for the same MXU-padding reason as above
+    def _mat3_rows(r3, M, shift=None):
+        cols = []
+        for j in range(3):
+            acc = r3[..., 0] * M[0, j] + r3[..., 1] * M[1, j] \
+                + r3[..., 2] * M[2, j]
+            if shift is not None:
+                acc = acc + shift[j]
+            cols.append(acc)
+        return jnp.stack(cols, axis=-1)
+
+    p_view = _mat3_rows(means3d, world_view[:3, :3], world_view[3, :3])
     depth = p_view[..., 2]
 
     visible = (depth > NEAR_N) & d_ok & (rho2max > 0.0)
@@ -193,7 +214,7 @@ def preprocess(
     )
 
     # view-space normal, flipped toward the camera (preprocess spec §2.1)
-    n_view = jnp.matmul(t_w, world_view[:3, :3], precision=hi)
+    n_view = _mat3_rows(t_w, world_view[:3, :3])
     if normals_flip:
         flip = jnp.where(jnp.sum(p_view * n_view, axis=-1) < 0.0, 1.0, -1.0)
         n_view = n_view * flip[..., None]
