@@ -142,6 +142,7 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
             "num_points": gs.num_active(),
             "overflow": aux["overflow"], "num_pairs": aux["num_pairs"],
             "padded_total": aux["padded_total"],
+            "num_expanded": aux["num_expanded"],
             "xyz_lr": xyz_lr,
         }
         return TrainState(gaussians=gs, opt=new_opt, key=ts.key), metrics

@@ -1,0 +1,28 @@
+#!/bin/bash
+# VERDICT r1 item 2: the reference training schedule end-to-end at scale.
+# Generates a rich 1080p synthetic dataset (trained-like geometry,
+# multi-scale texture) and runs the FULL 30k-iteration schedule —
+# densification to 10^5-10^6 active splats, capacity doubling, pairs
+# overflow escalation, opacity resets — logging one JSONL line per tick
+# (incl. peak HBM) to RUNLOG_scale.jsonl at the repo root.
+# Reference contract: /root/reference/train.py:54-168 +
+# arguments/__init__.py:75,93 (30k iters, densify to 15k).
+set -ue
+cd "$(dirname "$0")/.."
+DATA=${DATA:-/tmp/rich_1080p}
+OUT=${OUT:-/tmp/rich_run}
+LOG=RUNLOG_scale.jsonl
+
+if [ ! -f "$DATA/transforms_train.json" ]; then
+  echo "=== generating dataset ($(date +%T)) ==="
+  python scripts/make_synthetic_scene.py --preset rich --out "$DATA" \
+    --width 1920 --height 1080 --n_train 40 --n_test 8 \
+    --n_surfels 250000
+fi
+
+echo "=== training 30k ($(date +%T)) ==="
+python train.py -s "$DATA" -m "$OUT" --iterations 30000 \
+  --lambda_dist 10 --no_viewer --run_log "$LOG" \
+  --test_iterations 7000 15000 30000 \
+  --save_iterations 30000 --checkpoint_iterations 30000
+echo "=== done ($(date +%T)) ==="
