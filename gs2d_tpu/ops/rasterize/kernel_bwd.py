@@ -24,7 +24,8 @@ transmittance division chains and no atomics:
     channel counted TWICE (Σ_e w_e·(m²S0+S2−2mS1)_e = 2·(S0S2−S1²)).
 
   A single front-to-back pass recomputes the forward transmittance scan
-  (one log-space shift-scan per chunk), forms the suffix Σ_{j>e} w_j·dw_j
+  (one product-space shift-scan per chunk — the oracle's T *= (1-alpha)
+  recurrence, no per-splat transcendentals), forms the suffix Σ_{j>e} w_j·dw_j
   as grand total minus inclusive prefix (a second shift-scan), chains
   gradients back through the compositing → alpha → homography-coefficient
   algebra, reduces over the tile's pixels, and DMAs the per-entry gradient
@@ -39,7 +40,6 @@ transmittance division chains and no atomics:
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -48,33 +48,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import (ENTRY_F, NEAR_N, NUM_OUT, T_EPS, TILE_PX, TILE_W, cdiv)
 from .kernel_common import (M_SCALE, chunk_geometry, entry_validity,
-                            mapped_depth, prefix_scan_incl)
+                            mapped_depth, prefix_prod_excl_from_incl,
+                            prefix_prod_incl, prefix_scan_incl)
 from .kernel_fwd import _pixel_coords
 
-LOG_T_EPS = math.log(T_EPS)
 NUM_STATE = 4
-# state rows: 0 logT, 1 crossed, 2 P_wdw (running inclusive prefix of
-#             w·dw), 3 pad (sublane alignment)
+# state rows: 0 running transmittance T (product domain), 1 crossed,
+#             2 P_wdw (running inclusive prefix of w·dw), 3 pad
 
 
 def _recompute_chunk(e, px, py, ci, chunk, count, state):
-    """Shared forward recomputation: transmittance scan only."""
+    """Shared forward recomputation: transmittance product scan only
+    (mirrors kernel_fwd — the oracle's T *= (1-alpha) recurrence with no
+    per-splat transcendentals). Returns t_mult, the chunk's kept
+    transmittance factor, for the multiplicative state update."""
     geom = chunk_geometry(e, px, py)
     crossed_in = state[1:2]
     ok = entry_validity(geom, ci, chunk, count, crossed_in)
     a0 = jnp.where(ok, geom.alpha, 0.0)
-    l = jnp.log1p(-a0)
-    s_incl = prefix_scan_incl(l)
-    logT_in = state[0:1]
-    keep = (s_incl + logT_in) >= LOG_T_EPS
+    q = 1.0 - a0
+    p_incl = prefix_prod_incl(q)
+    T_in = state[0:1]
+    keep = (p_incl * T_in) >= T_EPS
     cross = (a0 > 0.0) & jnp.logical_not(keep)
     a_eff = jnp.where(keep, a0, 0.0)
-    l2 = jnp.where(keep, l, 0.0)
-    T_before = jnp.exp(logT_in + s_incl - l)
+    T_before = T_in * prefix_prod_excl_from_incl(p_incl)
     w = a_eff * T_before
     live = a_eff > 0.0
     zs, m = mapped_depth(geom.z, live)
-    return geom, a_eff, l2, cross, T_before, w, live, zs, m
+    t_mult = jnp.min(jnp.where(keep, p_incl, 1.0), axis=0, keepdims=True)
+    return geom, a_eff, t_mult, cross, T_before, w, live, zs, m
 
 
 def _dw_terms(e, g, w, live, zs, m, S0, M1_tot, M2_tot):
@@ -117,6 +120,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
     med_idx = med_tiles[0]                # (1, TILE_PX) contributor slot
 
     state[...] = jnp.zeros((NUM_STATE, TILE_PX), jnp.float32)
+    state[0:1] = jnp.ones((1, TILE_PX), jnp.float32)   # running T (product)
     border = ((px >= width) | (py >= height)).astype(jnp.float32)
     state[1:2] = border
 
@@ -182,7 +186,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
 
     def _bwd_compute(ci, slot):
         e = ebuf[slot]                     # (chunk, ENTRY_F) rows
-        (geom, a_eff, l2, cross, T_before, w, live, zs, m) = \
+        (geom, a_eff, t_mult, cross, T_before, w, live, zs, m) = \
             _recompute_chunk(e, px, py, ci, chunk, count, state)
 
         dw, dm = _dw_terms(e, g, w, live, zs, m, S0, M1_tot, M2_tot)
@@ -247,7 +251,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
 
         # state updates
         state[2:3] += jnp.sum(wdw, axis=0, keepdims=True)
-        state[0:1] += jnp.sum(l2, axis=0, keepdims=True)
+        state[0:1] = state[0:1] * t_mult
         crossed = jnp.maximum(
             state[1:2], jnp.max(cross.astype(jnp.float32), axis=0,
                                 keepdims=True))

@@ -92,6 +92,40 @@ def prefix_scan_excl(x: jnp.ndarray) -> jnp.ndarray:
     return prefix_scan_incl(x) - x
 
 
+def prefix_prod_incl(q: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix PRODUCT along axis 0, as log2(chunk) sublane
+    shift+multiplies — the transmittance scan in its native domain.
+
+    The oracle composites T *= (1-alpha) directly
+    (oracle.py: test_T = T*(1-alpha) < T_EPS), so the product scan
+    matches it bit-closer than the former log-space scan — and drops the
+    two transcendentals (log1p on entry, exp on exit) that the log form
+    spent per (splat, pixel). q ∈ (0, 1] ⇒ the running product is
+    non-increasing; underflow to 0 only happens far past the 1e-4
+    early-termination threshold, where the lanes are already frozen.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = q.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+    d = 1
+    while d < n:
+        sh = pltpu.roll(q, shift=d, axis=0)
+        q = q * jnp.where(row >= d, sh, 1.0)
+        d *= 2
+    return q
+
+
+def prefix_prod_excl_from_incl(p_incl: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive product from the inclusive one: shift down one row,
+    seed row 0 with the multiplicative identity (no division — q may
+    carry masked-identity 1.0 rows and near-zero alphas)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    row = jax.lax.broadcasted_iota(jnp.int32, p_incl.shape, 0)
+    return jnp.where(row == 0, 1.0, pltpu.roll(p_incl, shift=1, axis=0))
+
+
 def mxu_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """f32 matmul on the MXU (HIGHEST = full f32 via bf16 decomposition).
 

@@ -10,15 +10,17 @@ TPU-native compositing: instead of a per-splat sequential loop (the CUDA
 shape), each CHUNK of splats is composited in closed form —
   * per-(splat, pixel) geometry is 2 FMAs per homogeneous component
     (pixel-linear intersection coefficients from preprocess.py),
-  * ONE log-space transmittance prefix scan per chunk, done as
-    log2(chunk) sublane shift+adds on the VPU (exact f32),
+  * ONE transmittance prefix-product scan per chunk, done as
+    log2(chunk) sublane shift+multiplies on the VPU — the oracle's
+    T *= (1-alpha) recurrence verbatim, with zero per-splat
+    transcendentals (the former log-space scan paid log1p+exp each),
   * the early-termination contract (stop before transmittance < 1e-4,
     reference SURVEY.md §2.1 step 3) is reproduced exactly with a
-    keep-mask on the inclusive scan + a per-pixel frozen flag; the mask
-    is monotone within a chunk (log-alphas are ≤ 0), so the exclusive
-    kept-sum equals s_incl − l for every kept splat; whole-tile early
-    exit predicates the compute block on a scalar done flag inside a
-    STATIC fori_loop (a data-dependent while_loop stalls the DMA
+    keep-mask on the inclusive product + a per-pixel frozen flag; the
+    mask is monotone within a chunk (q ≤ 1), so the kept exclusive
+    product equals the all-entries one for every kept splat; whole-tile
+    early exit predicates the compute block on a scalar done flag inside
+    a STATIC fori_loop (a data-dependent while_loop stalls the DMA
     pipeline — measured 2.7x slower),
   * the depth-distortion accumulator needs NO per-splat prefix state:
     Σ_{i<j} w_i w_j (m_i − m_j)² ≡ S0·S2 − S1² with S0 = Σw (alpha),
@@ -33,7 +35,6 @@ noise(3), and M1/M2 aux totals consumed by the backward kernel.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -42,12 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import (ENTRY_F, NUM_OUT, T_EPS, TILE_H, TILE_PX, TILE_W, cdiv)
 from .kernel_common import (chunk_geometry, entry_validity, mapped_depth,
-                            mxu_dot_t, prefix_scan_incl)
+                            mxu_dot_t, prefix_prod_excl_from_incl,
+                            prefix_prod_incl)
 
-LOG_T_EPS = math.log(T_EPS)
 NUM_STATE = 16
-# state rows: 0 logT, 1 crossed, 2:5 color, 5 D, 6:9 normal, 9 median,
-#             10:13 noise, 13 M1, 14 M2, 15 median contributor slot index
+# state rows: 0 running transmittance T (product domain), 1 crossed,
+#             2:5 color, 5 D, 6:9 normal, 9 median, 10:13 noise, 13 M1,
+#             14 M2, 15 median contributor slot index
 
 
 def _pixel_coords(t, ntx):
@@ -69,6 +71,7 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
     px, py = _pixel_coords(t, ntx)
 
     state[...] = jnp.zeros((NUM_STATE, TILE_PX), jnp.float32)
+    state[0:1] = jnp.ones((1, TILE_PX), jnp.float32)   # running T (product)
     # out-of-image border pixels start "crossed" so edge tiles can take
     # the all-pixels-done early exit (their output is cropped anyway)
     state[1:2] = ((px >= width) | (py >= height)).astype(jnp.float32)
@@ -117,15 +120,17 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
             ok = entry_validity(geom, ci, chunk, count, crossed_in)
             a0 = jnp.where(ok, geom.alpha, 0.0)
 
-            l = jnp.log1p(-a0)
-            s_incl = prefix_scan_incl(l)
-            logT_in = state[0:1]
-            keep = (s_incl + logT_in) >= LOG_T_EPS
+            # transmittance scan in product space (exactly the oracle's
+            # T *= (1-alpha) recurrence; see prefix_prod_incl)
+            q = 1.0 - a0
+            p_incl = prefix_prod_incl(q)
+            T_in = state[0:1]
+            keep = (p_incl * T_in) >= T_EPS
             cross = (a0 > 0.0) & jnp.logical_not(keep)
             a_eff = jnp.where(keep, a0, 0.0)
-            l2 = jnp.where(keep, l, 0.0)
-            # exclusive kept-sum == s_incl − l for kept splats (monotone)
-            T_before = jnp.exp(logT_in + s_incl - l)
+            # keep is monotone within a chunk (q <= 1), so for every kept
+            # splat the exclusive product over kept == over all entries
+            T_before = T_in * prefix_prod_excl_from_incl(p_incl)
             w = a_eff * T_before
             live = a_eff > 0.0
             zs, m = mapped_depth(geom.z, live)
@@ -155,7 +160,10 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
             state[5:6] += jnp.sum(zs * w, axis=0, keepdims=True)
             state[13:14] += jnp.sum(wm, axis=0, keepdims=True)
             state[14:15] += jnp.sum(wm * m, axis=0, keepdims=True)
-            state[0:1] = logT_in + jnp.sum(l2, axis=0, keepdims=True)
+            # the running product is non-increasing, so the product over
+            # the kept prefix is the MIN of the kept inclusive products
+            state[0:1] = T_in * jnp.min(
+                jnp.where(keep, p_incl, 1.0), axis=0, keepdims=True)
             crossed = jnp.maximum(
                 crossed_in, jnp.max(cross.astype(jnp.float32), axis=0,
                                     keepdims=True))
@@ -168,7 +176,7 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
     jax.lax.fori_loop(0, nchunks, body, 0)
 
     med_ref[0, 0:1] = state[15:16]
-    T_final = jnp.exp(state[0:1])
+    T_final = state[0:1]
     S0 = 1.0 - T_final
     M1 = state[13:14]
     M2 = state[14:15]

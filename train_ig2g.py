@@ -169,6 +169,13 @@ def main():
             original = jnp.asarray(cam_data.image)[None]
             edited = ip2p.edit_image(text_embeddings, rendered, original,
                                      rend_noise)
+            # resize back to the render size if the editor changed it —
+            # the VAE's ×8 down/up round-trip returns multiple-of-8 dims
+            # (reference train_ig2g.py:293-297, bilinear, conditional)
+            if edited.shape[2:] != rendered.shape[2:]:
+                edited = jax.image.resize(
+                    edited, edited.shape[:2] + rendered.shape[2:],
+                    method="bilinear")
             cam_data.edited_image = np.asarray(edited[0])
             ip2p_iteration += 1
             if args.save_edited:
