@@ -39,7 +39,10 @@ from gs2d_tpu.utils.bench_scenes import make_trained_like_scene
 from gs2d_tpu.utils.timing import timed_loop
 
 W, H = 1920, 1080
-CHUNK = 128
+# Overridable: each tile-chunk costs two DMA issues in the backward
+# (in + out) regardless of size — if issue overhead dominates at ~20
+# chunks/tile, 256/512 amortize it at ~5% padded-slot cost.
+CHUNK = int(os.environ.get("BENCH_CHUNK", "128"))
 
 
 def bench_one(n, out_f, n_iters=8):
@@ -54,11 +57,11 @@ def bench_one(n, out_f, n_iters=8):
         m, s, q, o, cam.world_view, cam.full_proj, cam.campos, W, H,
         colors=c))
     pre = pre_fn(means, scales, quats, opac, rgb)
-    cap, fin_cap = suggest_capacities(pre, W, H)
+    cap, fin_cap = suggest_capacities(pre, W, H, chunk=CHUNK)
     cfg = RasterizeConfig(width=W, height=H, pairs_capacity=cap,
                           final_capacity=fin_cap, chunk=CHUNK)
     rec = {"n_gaussians": n, "width": W, "height": H, "pairs_capacity": cap,
-           "final_capacity": fin_cap}
+           "final_capacity": fin_cap, "chunk": CHUNK}
     print(f"[N={n}] capacity {cap} final {fin_cap}", flush=True)
 
     # ---- stage: preprocess (chained via means feedback) --------------

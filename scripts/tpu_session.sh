@@ -23,4 +23,7 @@ run glue3      3600 python scripts/profile_glue3.py
 run glue2      3600 python scripts/profile_glue2.py
 # 2. post-layout-change scale bench at 1M (appends to PERF_scale.jsonl)
 run scale1m    3600 python scripts/bench_scale.py 1000000
+# 3. chunk-size A/B: DMA-issue amortization vs padded-slot waste
+run scale1m_c256 3600 env BENCH_CHUNK=256 python scripts/bench_scale.py 1000000
+run scale1m_c512 3600 env BENCH_CHUNK=512 python scripts/bench_scale.py 1000000
 echo "=== done ($(date +%T)) ===" | tee -a $OUT/session.log
