@@ -24,5 +24,5 @@ echo "=== training 30k ($(date +%T)) ==="
 python train.py -s "$DATA" -m "$OUT" --iterations 30000 \
   --lambda_dist 10 --no_viewer --run_log "$LOG" \
   --test_iterations 7000 15000 30000 \
-  --save_iterations 30000 --checkpoint_iterations 30000
+  --save_iterations 30000 --checkpoint_iterations 7000 15000 30000
 echo "=== done ($(date +%T)) ==="

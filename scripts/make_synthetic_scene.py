@@ -168,6 +168,23 @@ def main():
         return (np.asarray(rgba).transpose(1, 2, 0) * 255).astype(np.uint8)
 
     os.makedirs(args.out, exist_ok=True)
+    if args.preset == "rich":
+        # COLMAP-like sparse seed covering the WHOLE scene (incl. the
+        # radius-6 background shell, far outside the Blender reader's
+        # default [-1.3, 1.3]³ random init): subsample GT positions with
+        # noise, as a real SfM cloud would land on textured surfaces.
+        from gs2d_tpu.scene.ply import write_point_cloud
+        rng = np.random.default_rng(7)
+        n_seed = min(30_000, len(pts))
+        sel = rng.choice(len(pts), n_seed, replace=False)
+        seed_xyz = (pts[sel]
+                    + rng.normal(scale=0.01, size=(n_seed, 3))
+                    .astype(np.float32))
+        write_point_cloud(os.path.join(args.out, "points3d.ply"),
+                          seed_xyz.astype(np.float32),
+                          np.clip(rgb[sel] + rng.normal(
+                              scale=0.05, size=(n_seed, 3)), 0, 1)
+                          .astype(np.float32))
     for split, n in (("train", args.n_train), ("test", args.n_test)):
         os.makedirs(os.path.join(args.out, split), exist_ok=True)
         frames = []

@@ -18,6 +18,10 @@ run() { # name, timeout_s, cmd...
 
 # 0. sanity: kernels on hardware agree with interpret/oracle
 run smoke      1800 python scripts/tpu_smoke_fwd.py
+# 0b. CPU oracle cross-check of the fresh hardware dump (separate
+# process, axon plugin disabled — required when the tunnel flaps)
+run cpu_check  1200 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+  python scripts/cpu_check_fwd.py
 # 1. primitive cost map at the 1M-splat scene (the glue attack's compass)
 run glue3      3600 python scripts/profile_glue3.py
 run glue2      3600 python scripts/profile_glue2.py
