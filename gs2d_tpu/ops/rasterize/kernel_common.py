@@ -87,11 +87,6 @@ def prefix_scan_incl(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def prefix_scan_excl(x: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive prefix sum along axis 0: inclusive − self."""
-    return prefix_scan_incl(x) - x
-
-
 def prefix_prod_incl(q: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix PRODUCT along axis 0, as log2(chunk) sublane
     shift+multiplies — the transmittance scan in its native domain.
@@ -126,22 +121,12 @@ def prefix_prod_excl_from_incl(p_incl: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(row == 0, 1.0, pltpu.roll(p_incl, shift=1, axis=0))
 
 
-def mxu_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """f32 matmul on the MXU (HIGHEST = full f32 via bf16 decomposition).
-
-    Used to offload in-kernel reductions/accumulations so they run on the
-    otherwise-idle MXU in parallel with the VPU elementwise pipeline.
-    """
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-
-
 def mxu_dot_t(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """aᵀ @ b on the MXU: contracts dim 0 of both operands — the form the
-    row-major (chunk, F) entry layout feeds directly, without a VMEM
-    transpose of the payload columns."""
+    """aᵀ @ b on the MXU (HIGHEST = full f32 via bf16 decomposition):
+    contracts dim 0 of both operands — the form the row-major (chunk, F)
+    entry layout feeds directly, without a VMEM transpose of the payload
+    columns. Offloads the in-kernel channel accumulations to the
+    otherwise-idle MXU, overlapping the VPU elementwise pipeline."""
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -21,8 +21,15 @@ if [ ! -f "$DATA/transforms_train.json" ]; then
 fi
 
 echo "=== training 30k ($(date +%T)) ==="
+# resume from the newest checkpoint if a previous run was cut short
+RESUME=""
+LAST=$(ls -1 "$OUT"/chkpnt*.npz 2>/dev/null | sed 's/.*chkpnt//;s/\.npz//' | sort -n | tail -1)
+if [ -n "${LAST:-}" ]; then
+  RESUME="--start_checkpoint $OUT/chkpnt$LAST.npz"
+  echo "resuming from iteration $LAST"
+fi
 python train.py -s "$DATA" -m "$OUT" --iterations 30000 \
-  --lambda_dist 10 --no_viewer --run_log "$LOG" \
+  --lambda_dist 10 --no_viewer --run_log "$LOG" $RESUME \
   --test_iterations 7000 15000 30000 \
   --save_iterations 30000 --checkpoint_iterations 7000 15000 30000
 echo "=== done ($(date +%T)) ==="

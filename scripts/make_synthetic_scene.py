@@ -54,9 +54,6 @@ def make_rich_surfels(n=300_000, seed=0):
     reference regime (clone/split to 10^5-10^6 splats,
     /root/reference/scene/gaussian_model.py:348-403) in the 30k-iteration
     at-scale run (VERDICT r1 item 2)."""
-    import sys as _sys
-    _sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from gs2d_tpu.utils.bench_scenes import make_trained_like_scene
 
     pts, scales, quat, opac, _ = make_trained_like_scene(
@@ -132,19 +129,30 @@ def main():
     gt = tuple(jnp.asarray(a) for a in (pts, scales, quat, opac, rgb))
     fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
 
+    def cam_of(c2w):
+        c2w_cv = c2w.copy()
+        c2w_cv[:3, 1:3] *= -1
+        w2c = np.linalg.inv(c2w_cv)
+        return make_camera(w2c[:3, :3].T, w2c[:3, 3], fovx, fovy, W, H)
+
     # jit once over (world_view, full_proj, campos) — EAGER dispatch through
-    # the axon tunnel costs ~166 s/frame; also probe the pair demand once
-    # and reuse one capacity for every view.
+    # the axon tunnel costs ~166 s/frame. Probe the pair demand over the
+    # orbit's elevation RANGE (0.05–0.65: a top-down view of the ground
+    # disc projects far more pairs than a near-edge-on one) and size one
+    # capacity for all views from the max.
     pre0 = jax.jit(lambda a, wv, fp, cp: preprocess(
         a[0], a[1], a[2], a[3], wv, fp, cp, W, H, colors=a[4]))
-    cam0 = make_camera(np.eye(3), np.array([0.0, 0.0, 3.2]), fovx, fovy,
-                       W, H)
-    cap, fin_cap = suggest_capacities(
-        pre0(gt, cam0.world_view, cam0.full_proj, cam0.campos), W, H,
-        chunk=128 if not on_cpu else 16, slack=1.8)
+    chunk = 128 if not on_cpu else 16
+    cap = fin_cap = 0
+    for elev in (0.05, 0.35, 0.65):
+        pc = cam_of(orbit_c2w(0.0, elev))
+        c, f = suggest_capacities(
+            pre0(gt, pc.world_view, pc.full_proj, pc.campos), W, H,
+            chunk=chunk, slack=1.8)
+        cap, fin_cap = max(cap, c), max(fin_cap, f)
     cfg = RasterizeConfig(
         width=W, height=H, pairs_capacity=cap, final_capacity=fin_cap,
-        chunk=128 if not on_cpu else 16, interpret=on_cpu)
+        chunk=chunk, interpret=on_cpu)
 
     @functools.partial(jax.jit, donate_argnums=())
     def _render(a, wv, fp, cp):
@@ -156,12 +164,7 @@ def main():
         return jnp.concatenate([img, alpha[None]], 0), aux["overflow"]
 
     def render_view(c2w):
-        c2w_cv = c2w.copy()
-        c2w_cv[:3, 1:3] *= -1
-        w2c = np.linalg.inv(c2w_cv)
-        R = w2c[:3, :3].T
-        T = w2c[:3, 3]
-        cam = make_camera(R, T, fovx, fovy, W, H)
+        cam = cam_of(c2w)
         rgba, overflow = jax.device_get(_render(
             gt, cam.world_view, cam.full_proj, cam.campos))
         assert not bool(overflow)

@@ -73,14 +73,14 @@ def run(W, H, N, pairs_cap, label):
         "gather(bar-gid)": jax.jit(functools.partial(
             upto_gather, transpose=False, kernel=False, barrier_gid=True)),
         "fwd(bar-gid)": jax.jit(functools.partial(
-            upto_gather, transpose=True, kernel=True, do_untile=True,
+            upto_gather, transpose=False, kernel=True, do_untile=True,
             barrier_gid=True)),
         "gather+T": jax.jit(functools.partial(upto_gather, transpose=True,
                                               kernel=False)),
-        "gather+T+kernel": jax.jit(functools.partial(upto_gather,
-                                                     transpose=True,
-                                                     kernel=True)),
-        "full fwd": jax.jit(functools.partial(upto_gather, transpose=True,
+        "gather+kernel": jax.jit(functools.partial(upto_gather,
+                                                   transpose=False,
+                                                   kernel=True)),
+        "full fwd": jax.jit(functools.partial(upto_gather, transpose=False,
                                               kernel=True, do_untile=True)),
     }
     msg = [f"[{label}] N={N}"]

@@ -8,11 +8,8 @@ loop must keep optimizing through every recompile. This is the
 small-scale twin of the 30k-iteration at-scale run (RUNLOG_scale.md).
 """
 
-import dataclasses
-
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import gs2d_tpu.train.loop as loop_mod
 from gs2d_tpu.config import (ModelParams, OptimizationParams,
@@ -110,6 +107,15 @@ def test_loop_schedule_end_to_end(monkeypatch):
         f"pairs overflow escalation never fired: {ev_text!r}"
     n_final = int(ts.gaussians.num_active())
     assert n_final > 12, f"densification never grew the model ({n_final})"
+    # the loop must keep optimizing through every recompile: no NaN/Inf
+    # ticks, and the loss floor must sit well under the peak (the logged
+    # value is an EMA warming up from 0, so the first tick is not a
+    # meaningful anchor; resets spike the peak, training digs the floor)
+    lvals = np.array([l for _, l, _ in losses])
+    assert np.isfinite(lvals).all(), "loss diverged to NaN/Inf mid-run"
+    assert lvals.min() < 0.8 * lvals.max(), \
+        f"no loss progress at any point: floor {lvals.min():.4f}, " \
+        f"peak {lvals.max():.4f}"
     # quality gate robust to the opacity-reset sawtooth: the final state
     # must render the first training view strictly better than the init
     scene2 = _StubScene.instance
