@@ -1,0 +1,65 @@
+"""Structural perf-regression gates on the lowered rasterizer graph.
+
+The round-2 scale work (PERF.md) removed two ~1 GB host transposes by
+streaming row-major (P, 24) entries straight through both Pallas
+kernels. XLA could silently reintroduce a pair-table transpose through
+an innocuous-looking layout change far from the kernels — at 10M pairs
+that is hundreds of milliseconds. Lowering is cheap (no compile, no
+execution), so these checks pin the graph SHAPE itself:
+
+  * no transpose of a P-sized (pairs, 24) table in forward or backward,
+  * at most two sorts in the whole fwd+bwd graph (binning's N-sized
+    depth argsort + its P-sized tile-key sort) — a third one means a
+    gradient path started re-sorting.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+
+from gs2d_tpu.ops.rasterize.api import RasterizeConfig, rasterize
+from gs2d_tpu.ops.rasterize.preprocess import preprocess
+
+from .utils import lookat_camera, random_cloud
+
+CAP = 1 << 15
+
+
+def _lowered_text():
+    cam = lookat_camera(width=256, height=128)
+    n = 500
+    means, scales, quats, opac, rgb, noise = random_cloud(n, 0)
+    cfg = RasterizeConfig(width=cam.width, height=cam.height,
+                          pairs_capacity=CAP, chunk=16, interpret=True)
+    cot = jnp.ones((15, cam.height, cam.width), jnp.float32)
+
+    def loss(means, scales, quats, opac, rgb):
+        pre = preprocess(means, scales, quats, opac, cam.world_view,
+                         cam.full_proj, cam.campos, cam.width, cam.height,
+                         colors=rgb)
+        out, _ = rasterize(pre, cfg)
+        return jnp.sum(out * cot)
+
+    args = tuple(jnp.asarray(x) for x in (means, scales, quats, opac, rgb))
+    return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4))).lower(
+        *args).as_text()
+
+
+def test_no_pair_table_transpose_and_single_sort():
+    text = _lowered_text()
+
+    # any transpose whose type mentions the P-sized pair table is the
+    # regression this file exists to catch
+    pair_tab = re.compile(
+        rf"transpose[^\n]*({CAP}x24|24x{CAP})x?f32", re.IGNORECASE)
+    bad = [ln for ln in text.splitlines() if pair_tab.search(ln)]
+    assert not bad, (
+        "P-sized pair-table transpose reappeared in the lowered graph "
+        f"(PERF.md fix #1 regressed):\n" + "\n".join(bad[:5]))
+
+    n_sorts = len(re.findall(r"\bsort\b", text))
+    assert n_sorts <= 2, (
+        "expected at most two sorts (N-sized depth argsort + P-sized "
+        f"tile-key sort in binning), found {n_sorts} — a gradient path "
+        "started re-sorting pair tables")
