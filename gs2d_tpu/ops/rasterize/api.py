@@ -200,12 +200,21 @@ def suggest_capacities(pre: PreprocessOut, width: int, height: int,
     silently underestimate — re-probe at growing capacities until the
     demand fits."""
     for _ in range(8):
-        bins = bin_gaussians(pre.center2d, pre.extent, pre.depth,
-                             pre.visible, width, height, probe_capacity,
-                             chunk,
-                             cull_abc=((pre.A, pre.B, pre.C) if cull
-                                       else None),
-                             rho2max=pre.rho2max if cull else None)
+        # jitted probe: eager dispatch costs one host↔device round trip
+        # PER OP on tunneled backends (~60 ops × ~40 ms); the persistent
+        # compile cache makes the jitted form ~free across processes
+        if cull:
+            fn = jax.jit(lambda c2, ex, dp, vis, abc, r2m, _pc=probe_capacity:
+                         bin_gaussians(c2, ex, dp, vis, width, height,
+                                       _pc, chunk, cull_abc=abc,
+                                       rho2max=r2m))
+            bins = fn(pre.center2d, pre.extent, pre.depth, pre.visible,
+                      (pre.A, pre.B, pre.C), pre.rho2max)
+        else:
+            fn = jax.jit(lambda c2, ex, dp, vis, _pc=probe_capacity:
+                         bin_gaussians(c2, ex, dp, vis, width, height,
+                                       _pc, chunk))
+            bins = fn(pre.center2d, pre.extent, pre.depth, pre.visible)
         if not bool(bins.overflow):
             break
         probe_capacity *= 4
