@@ -16,18 +16,21 @@ run() { # name, timeout_s, cmd...
   echo "    exit=$? ($(date +%T))" | tee -a $OUT/session.log
 }
 
+# Ordered so the highest-value results land first if the window is
+# short (the tunnel has flapped for hours at a time).
 # 0. sanity: kernels on hardware agree with interpret/oracle
 run smoke      1800 python scripts/tpu_smoke_fwd.py
 # 0b. CPU oracle cross-check of the fresh hardware dump (separate
 # process, axon plugin disabled — required when the tunnel flaps)
 run cpu_check  1200 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
   python scripts/cpu_check_fwd.py
-# 1. primitive cost map at the 1M-splat scene (the glue attack's compass)
-run glue3      3600 python scripts/profile_glue3.py
-run glue2      3600 python scripts/profile_glue2.py
-# 2. post-layout-change scale bench at 1M (appends to PERF_scale.jsonl)
+# 1. THE headline: post-layout-change scale bench at 1M splats
 run scale1m    3600 python scripts/bench_scale.py 1000000
+# 2. primitive cost map at the 1M-splat scene (the glue attack's compass)
+run glue3      3600 python scripts/profile_glue3.py
 # 3. chunk-size A/B: DMA-issue amortization vs padded-slot waste
 run scale1m_c256 3600 env BENCH_CHUNK=256 python scripts/bench_scale.py 1000000
 run scale1m_c512 3600 env BENCH_CHUNK=512 python scripts/bench_scale.py 1000000
+# 4. secondary microbench sweep
+run glue2      3600 python scripts/profile_glue2.py
 echo "=== done ($(date +%T)) ===" | tee -a $OUT/session.log
