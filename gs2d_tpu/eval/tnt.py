@@ -193,8 +193,12 @@ class SelectionVolume:
 
 def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
     """Open3D voxel_down_sample semantics: one point per voxel, the MEAN
-    of its members."""
-    keys = np.floor(points / voxel).astype(np.int64)
+    of its members. Bins are anchored at the cloud's min bound (Open3D
+    computes voxel indices relative to min_bound, not the origin —
+    binning at the absolute origin shifts which points merge and with
+    them the ICP/F-score numbers this feeds)."""
+    origin = points.min(axis=0)
+    keys = np.floor((points - origin) / voxel).astype(np.int64)
     _, inv, counts = np.unique(keys, axis=0, return_inverse=True,
                                return_counts=True)
     sums = np.zeros((len(counts), 3))

@@ -227,6 +227,10 @@ class InstructPix2Pix:
                 freeu = FreeUParams(s1=params.freeu_s1, s2=params.freeu_s2,
                                     b1=params.freeu_b1, b2=params.freeu_b2)
             self.backend = JaxSDBackend(freeu=freeu, seed=seed)
+        elif isinstance(backend, str):
+            raise ValueError(
+                f"unknown editor backend {backend!r}: expected 'stub', "
+                "'jax', or a pre-built backend object")
         else:
             self.backend = backend    # pre-built backend object (tests)
         self.key = jax.random.PRNGKey(seed)

@@ -16,7 +16,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .binning import BinningOut, alloc_size, bin_gaussians
+from .binning import (MAX_PAIRS_CAPACITY, BinningOut, alloc_size,
+                      bin_gaussians)
 from .common import (NUM_OUT, TILE_H, TILE_PX, TILE_W, cdiv, pad_to)
 from .kernel_fwd import rasterize_fwd_pallas
 from .oracle import rasterize_oracle
@@ -217,7 +218,12 @@ def suggest_capacities(pre: PreprocessOut, width: int, height: int,
             bins = fn(pre.center2d, pre.extent, pre.depth, pre.visible)
         if not bool(bins.overflow):
             break
-        probe_capacity *= 4
+        if probe_capacity >= MAX_PAIRS_CAPACITY:
+            raise ValueError(
+                "pair demand exceeds the f32-exact bookkeeping ceiling "
+                f"(2^24 = {MAX_PAIRS_CAPACITY}); reduce resolution or "
+                "splat extents")
+        probe_capacity = min(probe_capacity * 4, MAX_PAIRS_CAPACITY)
     else:
         raise ValueError(
             f"pair demand still exceeds probe capacity {probe_capacity}")
@@ -225,7 +231,8 @@ def suggest_capacities(pre: PreprocessOut, width: int, height: int,
     fin_need = int(bins.padded_total)
     exp_cap = max(pad_to(int(exp_need * slack), chunk), chunk)
     fin_cap = max(pad_to(int(fin_need * slack), chunk), chunk)
-    return max(exp_cap, fin_cap), fin_cap
+    fin_cap = min(fin_cap, MAX_PAIRS_CAPACITY)
+    return min(max(exp_cap, fin_cap), MAX_PAIRS_CAPACITY), fin_cap
 
 
 def suggest_pairs_capacity(pre: PreprocessOut, width: int, height: int,

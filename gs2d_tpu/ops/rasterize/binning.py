@@ -34,6 +34,12 @@ import jax.numpy as jnp
 
 from .common import FILTER_INV_SQUARE, TILE_H, TILE_W, cdiv
 
+# f32 packed-integer bookkeeping (slot tables, exact division) is exact
+# only below 2^24; every capacity-growth path clamps here. 16.7M pairs
+# covers ~1.5x the heaviest 1080p trained-scene demand measured in
+# PERF_scale.jsonl (10.9M at 2M splats).
+MAX_PAIRS_CAPACITY = 1 << 24
+
 
 class BinningOut(NamedTuple):
     gid: jnp.ndarray         # (P_fin,) int32 gaussian id per slot (0 if pad)
@@ -175,9 +181,10 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     nty = cdiv(height, TILE_H)
     T = ntx * nty
     P_fin = alloc_size(final_capacity or pairs_capacity, T, chunk)
-    if pairs_capacity >= (1 << 24) or N >= (1 << 24):
+    if pairs_capacity > MAX_PAIRS_CAPACITY or N > MAX_PAIRS_CAPACITY:
         raise ValueError("f32-exact pair bookkeeping requires "
-                         "pairs_capacity and N < 2^24")
+                         "pairs_capacity and N <= 2^24 "
+                         "(growth paths must clamp to MAX_PAIRS_CAPACITY)")
 
     depth_key = jnp.where(visible, depth, jnp.inf)
     g_order = jnp.argsort(depth_key, stable=True)          # (N,) front→back

@@ -133,12 +133,17 @@ def preprocess(
         A = (A - screen_offsets[..., 0:1] * B - screen_offsets[..., 1:2] * C)
 
     # Dual-conic AABBs of the homography image of a splat-frame disc of
-    # radius r: the dual with sgn = (1, 1, -r^2) gives the EXACT bounding
-    # box of the level set rho3d = r^2 (the reference CUDA instead scales
-    # the unit-disc box by 3 — an approximation that overshoots at low
-    # opacity and can undershoot under strong foreshortening).
+    # radius r (the reference CUDA instead scales the unit-disc box by 3
+    # — an approximation that overshoots at low opacity and can
+    # undershoot under strong foreshortening). The disc u²+v² ≤ r² has
+    # PRIMAL conic diag(1,1,-r²) but the box formula consumes the DUAL
+    # (its adjugate), diag(1,1,-1/r²) up to scale — the two coincide
+    # only at r = 1. Using the primal here shrank every rect by ~r²
+    # (verified against brute-force boundary sampling: the dual form is
+    # exact to float precision, the primal form was 10-100x too small).
     def _dual_aabb(r2):
-        sgn_r = jnp.stack([jnp.ones_like(r2), jnp.ones_like(r2), -r2], -1)
+        sgn_r = jnp.stack([jnp.ones_like(r2), jnp.ones_like(r2),
+                           -1.0 / r2], -1)
         dd = jnp.sum(c2 * c2 * sgn_r, axis=-1)           # (N,)
         dd_ok = jnp.abs(dd) > 1e-12
         ff = sgn_r / jnp.where(dd_ok, dd, 1.0)[..., None]

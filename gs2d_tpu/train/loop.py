@@ -127,9 +127,17 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
                                                img.shape[1])
             else:
                 gt = jnp.asarray(cam_data.image)
-            if gt_cache_bytes + gt.nbytes <= rt.gt_cache_budget:
+            # charge the PER-PROCESS footprint: a process-sharded global
+            # array stores only its addressable shards, so billing the
+            # global nbytes would under-fill the cache n_hosts-fold
+            try:
+                local_bytes = sum(s.data.nbytes
+                                  for s in gt.addressable_shards)
+            except (AttributeError, TypeError):
+                local_bytes = gt.nbytes
+            if gt_cache_bytes + local_bytes <= rt.gt_cache_budget:
                 gt_cache[cam_idx] = gt
-                gt_cache_bytes += gt.nbytes
+                gt_cache_bytes += local_bytes
 
         ts, metrics = step_for(cam_data.camera)(
             ts, cam_data.camera, gt, jnp.int32(iteration), bg)
@@ -198,7 +206,15 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
                                {"event": f"pairs_capacity ↓ "
                                 f"{pairs_capacity}/{final_capacity}"})
             if bool(m["overflow"]):
-                pairs_capacity *= 2
+                from ..ops.rasterize.binning import MAX_PAIRS_CAPACITY
+                if pairs_capacity >= MAX_PAIRS_CAPACITY:
+                    raise RuntimeError(
+                        "pair demand exceeds the f32-exact bookkeeping "
+                        f"ceiling (2^24); at iteration {iteration} with "
+                        f"{int(m['num_points'])} points — reduce "
+                        "resolution or densification pressure")
+                pairs_capacity = min(pairs_capacity * 2,
+                                     MAX_PAIRS_CAPACITY)
                 final_capacity = (None if final_capacity is None
                                   else min(2 * final_capacity,
                                            pairs_capacity))

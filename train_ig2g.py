@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--noise_reg", type=str, default="None")
     ap.add_argument("--freeu_mode", type=str, default="None")
     ap.add_argument("--lambda_intermediate", type=float, default=0.5)
+    # FreeU scaling (reference train_ig2g enables pipe.enable_freeu with
+    # these four knobs, arguments/__init__.py fork block)
+    ap.add_argument("--is_freeu", action="store_true")
+    ap.add_argument("--freeu_s1", type=float, default=0.9)
+    ap.add_argument("--freeu_s2", type=float, default=0.2)
+    ap.add_argument("--freeu_b1", type=float, default=1.2)
+    ap.add_argument("--freeu_b2", type=float, default=1.4)
     ap.add_argument("--editor", choices=["stub", "jax"], default="stub",
                 help="jax = real SD UNet+VAE (needs $GS2D_SD_WEIGHTS)")
     ap.add_argument("--save_edited", action="store_true")
@@ -103,6 +110,9 @@ def main():
         noise_type=args.noise_type, noise_reg=args.noise_reg,
         freeu_mode=args.freeu_mode,
         lambda_intermediate=args.lambda_intermediate,
+        is_freeu=args.is_freeu, freeu_s1=args.freeu_s1,
+        freeu_s2=args.freeu_s2, freeu_b1=args.freeu_b1,
+        freeu_b2=args.freeu_b2,
     ), backend=args.editor, seed=rt.seed)
 
     # prompt conditioning: the jax editor needs real CLIP embeddings
