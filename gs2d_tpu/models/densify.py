@@ -60,10 +60,15 @@ def densify_and_prune(state: GaussianState, opt: AdamState,
     clone_mask = hot & small
     split_mask = hot & ~small
 
-    # prune originals: low opacity; plus screen/world size when enabled
+    # prune originals: low opacity; plus WORLD size when enabled. The
+    # reference's screen-size criterion (max_radii2D > max_screen_size,
+    # gaussian_model.py:397-399) is DEAD code there: densification_postfix
+    # zeroes max_radii2D for all points (:344-346) before the prune ever
+    # reads it — so for parity the screen-radius test must not fire here
+    # either (an active version prunes large foreground splats the
+    # reference keeps, changing the whole quality trajectory).
     prune = active & (opacity < min_opacity)
-    size_prune = active & ((state.max_radii2d > max_screen_size)
-                           | (max_scale > 0.1 * extent))
+    size_prune = active & (max_scale > 0.1 * extent)
     prune = jnp.where(max_screen_size > 0, prune | size_prune, prune)
     prune = prune | split_mask                      # split originals die
 
@@ -164,9 +169,10 @@ def reset_opacity(state: GaussianState, opt: AdamState
     return dataclasses.replace(state, params=params), opt
 
 
-def add_densification_stats(state: GaussianState, screen_grads: jnp.ndarray,
+def add_densification_stats(state: GaussianState,
+                            screen_grads: jnp.ndarray,
                             radii: jnp.ndarray,
-                            width: int = 2, height: int = 2) -> GaussianState:
+                            width: int, height: int) -> GaussianState:
     """Accumulate per-point screen-gradient norms and max radii
     (reference train.py:127-128, gaussian_model.py:405-407).
 

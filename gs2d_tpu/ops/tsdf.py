@@ -47,26 +47,6 @@ def make_volume(center: np.ndarray, radius: float, voxel_size: float,
     )
 
 
-def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """img (H, W) or (H, W, C); x, y continuous pixel coords (N,)."""
-    H, W = img.shape[0], img.shape[1]
-    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
-    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
-    fx = jnp.clip(x - x0, 0.0, 1.0)
-    fy = jnp.clip(y - y0, 0.0, 1.0)
-    if img.ndim == 2:
-        img = img[..., None]
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
-    fx = fx[..., None]
-    fy = fy[..., None]
-    out = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
-           + v10 * (1 - fx) * fy + v11 * fx * fy)
-    return out
-
-
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def integrate(vol: TSDFVolume, depth: jnp.ndarray, color: jnp.ndarray,
               world_view: jnp.ndarray, fx: float, fy: float,
@@ -110,17 +90,13 @@ def integrate(vol: TSDFVolume, depth: jnp.ndarray, color: jnp.ndarray,
         inb = ((z > 1e-4) & (u >= 0) & (u <= width - 1)
                & (v >= 0) & (v <= height - 1))
 
-        x0i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, width - 2)
-        y0i = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, height - 2)
-        fxw = jnp.clip(u - x0i, 0.0, 1.0)[:, None]
-        fyw = jnp.clip(v - y0i, 0.0, 1.0)[:, None]
-        base = y0i * width + x0i
-        s00 = table[base]
-        s01 = table[base + 1]
-        s10 = table[base + width]
-        s11 = table[base + width + 1]
-        samp = (s00 * (1 - fxw) * (1 - fyw) + s01 * fxw * (1 - fyw)
-                + s10 * (1 - fxw) * fyw + s11 * fxw * fyw)
+        # NEAREST-pixel sampling, as Open3D's integrate does: bilinear
+        # depth taps straddling a masked silhouette blend zeros with real
+        # depth into bogus fractional depths that still pass validity,
+        # carving false crossings around every rim
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, width - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, height - 1)
+        samp = table[vi * width + ui]
         d_samp = samp[:, 0]
         c_samp = samp[:, 1:4]
         valid_d = (d_samp > 1e-6) & (d_samp < depth_trunc)
@@ -152,67 +128,6 @@ def integrate(vol: TSDFVolume, depth: jnp.ndarray, color: jnp.ndarray,
                       origin=vol.origin, voxel_size=vol.voxel_size)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def fuse_sdf_points(pts: jnp.ndarray, trunc: jnp.ndarray,
-                    sdf_acc: jnp.ndarray, w_acc: jnp.ndarray,
-                    col_acc: jnp.ndarray,
-                    depth: jnp.ndarray, color: jnp.ndarray,
-                    alpha: jnp.ndarray, world_view: jnp.ndarray,
-                    fx: float, fy: float, width: int, height: int):
-    """One view of free-point projective SDF fusion (the unbounded /
-    contracted meshing path, reference utils/mesh_utils.py:211-257).
-
-    pts (N,3) world points, trunc (N,) per-point truncation band; running
-    (sdf, w, col) accumulators are updated with weight-1 running means.
-    Nearest-neighbor image sampling via one packed row-gather per slab.
-    """
-    N = pts.shape[0]
-    B = min(N, 1 << 22)
-    while N % B:
-        B -= 1
-    nb = N // B
-    table = jnp.concatenate(
-        [depth[..., None], alpha[..., None],
-         color.transpose(1, 2, 0)], -1).reshape(-1, 5)
-
-    def slab(carry, b):
-        sdf_a, w_a, col_a = carry
-        x0 = b * B
-        p = jax.lax.dynamic_slice_in_dim(pts, x0, B, 0)
-        tr = jax.lax.dynamic_slice_in_dim(trunc, x0, B, 0)
-        pv = p @ world_view[:3, :3] + world_view[3, :3]
-        z = pv[:, 2]
-        u = pv[:, 0] / jnp.maximum(z, 1e-9) * fx + (width - 1) / 2.0
-        v = pv[:, 1] / jnp.maximum(z, 1e-9) * fy + (height - 1) / 2.0
-        inb = ((z > 1e-4) & (u >= 0) & (u <= width - 1)
-               & (v >= 0) & (v <= height - 1))
-        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, width - 1)
-        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, height - 1)
-        s = table[vi * width + ui]                     # (B, 5)
-        d_s, a_s, c_s = s[:, 0], s[:, 1], s[:, 2:5]
-        sdf = d_s - z
-        ok = inb & (a_s > 0.5) & (d_s > 1e-6) & (sdf > -tr)
-        d = jnp.clip(sdf / tr, -1.0, 1.0)
-        w_old = jax.lax.dynamic_slice_in_dim(w_a, x0, B, 0)
-        s_old = jax.lax.dynamic_slice_in_dim(sdf_a, x0, B, 0)
-        c_old = jax.lax.dynamic_slice_in_dim(col_a, x0, B, 0)
-        w = ok.astype(jnp.float32)
-        w_new = w_old + w
-        denom = jnp.maximum(w_new, 1.0)
-        s_new = jnp.where(ok, (s_old * w_old + d) / denom, s_old)
-        c_new = jnp.where(ok[:, None],
-                          (c_old * w_old[:, None] + c_s) / denom[:, None],
-                          c_old)
-        sdf_a = jax.lax.dynamic_update_slice_in_dim(sdf_a, s_new, x0, 0)
-        w_a = jax.lax.dynamic_update_slice_in_dim(w_a, w_new, x0, 0)
-        col_a = jax.lax.dynamic_update_slice_in_dim(col_a, c_new, x0, 0)
-        return (sdf_a, w_a, col_a), None
-
-    (sdf_acc, w_acc, col_acc), _ = jax.lax.scan(
-        slab, (sdf_acc, w_acc, col_acc), jnp.arange(nb, dtype=jnp.int32))
-    return sdf_acc, w_acc, col_acc
-
-
 def fuse_sdf_points_views(pts: jnp.ndarray, trunc: jnp.ndarray,
                           depths: jnp.ndarray, colors: jnp.ndarray,
                           alphas: jnp.ndarray, world_views: jnp.ndarray,
@@ -220,9 +135,12 @@ def fuse_sdf_points_views(pts: jnp.ndarray, trunc: jnp.ndarray,
                           width: int, height: int):
     """All-views free-point projective SDF fusion in ONE device program.
 
-    Same math as fuse_sdf_points but with the view loop as a lax.scan
-    over stacked per-view tensors (depths (V,H,W), colors (V,3,H,W),
-    alphas (V,H,W), world_views (V,4,4), fxs/fys (V,)) — one dispatch per
+    Reference compute_sdf_perframe semantics (mesh_utils.py:211-222):
+    bilinear border-padded sampling, mask = in-frustum & z>0, PLUS an
+    alpha>0.5 gate (documented deviation, see inline note). The view
+    loop is a lax.scan over stacked per-view tensors (depths (V,H,W),
+    colors (V,3,H,W), alphas (V,H,W), world_views (V,4,4), fxs/fys
+    (V,)) — one dispatch per
     BLOCK instead of per (block, view), which is what makes block-wise
     1024-res unbounded meshing (render/extract.py) dispatch-bound-free on
     tunneled backends. Returns (sdf, w, col) accumulators for the points.
@@ -239,14 +157,31 @@ def fuse_sdf_points_views(pts: jnp.ndarray, trunc: jnp.ndarray,
         z = pv[:, 2]
         u = pv[:, 0] / jnp.maximum(z, 1e-9) * fx + (width - 1) / 2.0
         v = pv[:, 1] / jnp.maximum(z, 1e-9) * fy + (height - 1) / 2.0
-        inb = ((z > 1e-4) & (u >= 0) & (u <= width - 1)
+        # reference mask_proj: in-frustum & z>0 only (no alpha / depth
+        # validity tests — background depth 0 yields sdf=-z, dropped by
+        # the -trunc gate), grid_sample bilinear with BORDER padding
+        inb = ((z > 0) & (u >= 0) & (u <= width - 1)
                & (v >= 0) & (v <= height - 1))
-        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, width - 1)
-        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, height - 1)
-        s = table[vi * width + ui]                     # (N, 5)
-        d_s, a_s, c_s = s[:, 0], s[:, 1], s[:, 2:5]
+        uc = jnp.clip(u, 0.0, width - 1.0)
+        vc = jnp.clip(v, 0.0, height - 1.0)
+        x0i = jnp.clip(jnp.floor(uc).astype(jnp.int32), 0, width - 2)
+        y0i = jnp.clip(jnp.floor(vc).astype(jnp.int32), 0, height - 2)
+        fxw = jnp.clip(uc - x0i, 0.0, 1.0)[:, None]
+        fyw = jnp.clip(vc - y0i, 0.0, 1.0)[:, None]
+        base = y0i * width + x0i
+        samp = (table[base] * (1 - fxw) * (1 - fyw)
+                + table[base + 1] * fxw * (1 - fyw)
+                + table[base + width] * (1 - fxw) * fyw
+                + table[base + width + 1] * fxw * fyw)
+        d_s, a_s, c_s = samp[:, 0], samp[:, 1], samp[:, 2:5]
         sdf = d_s - z
-        ok = inb & (a_s > 0.5) & (d_s > 1e-6) & (sdf > -trunc)
+        # DOCUMENTED DEVIATION from the reference: skip pixels with
+        # alpha <= 0.5. The reference fuses the depth map raw — empty
+        # background pixels carry depth 0, and any grid point within
+        # trunc of a camera then absorbs tsdf=-z/trunc, growing a
+        # spurious shell around the camera ring on scenes with empty
+        # background (real captures rarely have any, synthetic ones do).
+        ok = inb & (a_s > 0.5) & (sdf > -trunc)
         d = jnp.clip(sdf / trunc, -1.0, 1.0)
         w = ok.astype(jnp.float32)
         w_new = w_a + w

@@ -95,12 +95,22 @@ class GaussianExtractor:
         return self.center, self.radius
 
     def extract_mesh_bounded(self, voxel_size=0.004, sdf_trunc=0.02,
-                             depth_trunc=3.0, max_dim=320):  # 320^3 fits+runs well on 16GB
-        """Bounded TSDF fusion (reference :154-195)."""
+                             depth_trunc=3.0, max_dim=640):
+        """Bounded TSDF fusion (reference :154-195). The dense grid is
+        capped at max_dim^3 (640^3 x 5 f32 channels ≈ 5 GB on a 16 GB
+        chip) — Open3D's scalable volume is sparse and honors any voxel
+        size, so when the cap coarsens the protocol voxel we say so
+        LOUDLY: eval scores at a different resolution than requested are
+        not comparable."""
         if not hasattr(self, "radius"):
             self.estimate_bounding_sphere()
         vol = make_volume(self.center, depth_trunc / 2.0 + self.radius,
                           voxel_size, max_dim=max_dim)
+        if vol.voxel_size > float(voxel_size) * 1.01:
+            print(f"[extract_mesh_bounded] WARNING: requested voxel "
+                  f"{voxel_size} needs dim > {max_dim}; coarsened to "
+                  f"{vol.voxel_size:.5f} — scores are NOT protocol-"
+                  f"comparable (raise max_dim if HBM allows)")
         # if the dense grid was coarsened to fit max_dim, the truncation
         # band must stay a few voxels wide or marching finds no crossings
         sdf_trunc = max(float(sdf_trunc), 2.5 * vol.voxel_size)
@@ -189,8 +199,11 @@ class GaussianExtractor:
             grid = np.stack(np.meshgrid(*axes, indexing="ij"),
                             -1).reshape(-1, 3)
             r = np.linalg.norm(grid, axis=-1)
-            # adaptive truncation ∝ 1/(2-|y|) (reference :229-232)
-            trunc = (5 * 2 / N * np.where(
+            # adaptive truncation ∝ 1/(2-|y|) (reference :229-232), in
+            # WORLD units: sdf = sampled_depth - z is world-scale, and
+            # the reference's voxel_size = radius*2/N carries the scene
+            # radius (a contracted-unit band is radius-x too narrow)
+            trunc = (5 * (2 / N) / scale * np.where(
                 r > 1, 1.0 / (2 - np.minimum(r, 1.9)), 1.0)
             ).astype(np.float32)
             world = uncontract(grid) / scale + self.center
@@ -206,8 +219,11 @@ class GaussianExtractor:
                 sdf_n += s_g * w_g
                 w_n += w_g
                 col_n += c_g * w_g[:, None]
-            denom = np.maximum(w_n, 1.0)
-            sdf_n = np.where(w_n > 0, sdf_n / denom, 1.0)
+            # reference init: tsdfs = 1 with weights = 1 — a unit prior
+            # folded into the running mean ((1 + Σd)/(1 + n)); colors
+            # share the weight with a zero prior
+            denom = 1.0 + w_n
+            sdf_n = (1.0 + sdf_n) / denom
             col_n = col_n / denom[:, None]
             shape = tuple(i1 - i0 for i0, i1 in zip(i0s, i1s))
             return (sdf_n.reshape(shape), w_n.reshape(shape),
@@ -262,24 +278,6 @@ class GaussianExtractor:
 
         verts = uncontract(verts_c) / scale + self.center
         return verts.astype(np.float32), faces, cols.astype(np.float32)
-
-    def _project_sdf(self, world, cam, depthmap, rgbmap, alphamap):
-        w2v = np.asarray(cam.world_view)
-        p = world @ w2v[:3, :3] + w2v[3, :3]
-        z = p[:, 2]
-        fx = fov2focal(cam.fovx, cam.width)
-        fy = fov2focal(cam.fovy, cam.height)
-        u = p[:, 0] / np.maximum(z, 1e-9) * fx + (cam.width - 1) / 2
-        v = p[:, 1] / np.maximum(z, 1e-9) * fy + (cam.height - 1) / 2
-        inb = ((z > 1e-4) & (u >= 0) & (u <= cam.width - 1)
-               & (v >= 0) & (v <= cam.height - 1))
-        ui = np.clip(u.astype(np.int64), 0, cam.width - 1)
-        vi = np.clip(v.astype(np.int64), 0, cam.height - 1)
-        depth = depthmap.reshape(cam.height, cam.width)[vi, ui]
-        alpha = alphamap.reshape(cam.height, cam.width)[vi, ui]
-        col = rgbmap.reshape(3, cam.height, cam.width)[:, vi, ui].T
-        ok = inb & (alpha > 0.5) & (depth > 1e-6)
-        return (depth - z).astype(np.float32), col.astype(np.float32), ok
 
     def _sample_colors(self, vol: TSDFVolume, verts: np.ndarray):
         if len(verts) == 0:

@@ -176,5 +176,9 @@ def test_unbounded_blockwise_matches_monolithic():
     assert _face_set(v1, f1) == _face_set(v2, f2)
     radii = np.linalg.norm(v1, axis=-1)
     assert abs(np.median(radii) - 0.5) < 0.05
-    # colors sampled from the fused grid
-    assert np.all(np.abs(np.median(c1, 0) - [0.2, 0.5, 0.8]) < 0.05)
+    # colors sampled from the fused grid. The reference's running-mean
+    # prior (tsdfs=1, weights=1, rgbs=0 — mesh_utils.py:237-241) dilutes
+    # vertex colors by n/(n+1); a typical sphere vertex here sees n=3 of
+    # the 6 views, so the true (0.2, 0.5, 0.8) reads as 3/4 of itself.
+    assert np.all(np.abs(np.median(c1, 0)
+                         - np.array([0.2, 0.5, 0.8]) * 0.75) < 0.05)

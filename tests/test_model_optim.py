@@ -108,7 +108,7 @@ def test_densification_stats_accumulate():
     state = _rand_state(n=4, cap=8)
     g = jnp.asarray(np.array([[3.0, 4.0]] * 8, np.float32))
     radii = jnp.asarray(np.array([1, 0, 2, 0, 0, 0, 0, 0], np.int32))
-    s2 = add_densification_stats(state, g, radii)
+    s2 = add_densification_stats(state, g, radii, 2, 2)
     assert float(s2.grad_accum[0]) == 5.0
     assert float(s2.grad_accum[1]) == 0.0
     assert float(s2.denom[2]) == 1.0
