@@ -3,8 +3,11 @@
 Mirrors the reference Camera contract (/root/reference/scene/cameras.py:17-73):
 row-vector ``world_view`` / ``full_proj`` matrices, camera center from the
 inverse view transform, znear=0.01 / zfar=100. Designed as a JAX pytree whose
-shape-determining fields (width/height/fovs) are static aux data, so a jitted
-render specializes per resolution but treats poses as traced arrays.
+SHAPE-determining fields (width/height) are static aux data, so a jitted
+render specializes per resolution; fovs are dynamic leaves — they are pure
+metadata to traced code (the matrices already encode them) and making them
+static would recompile the train step per distinct focal (multi-camera rigs
+or per-image undistortion produce hundreds of slightly different fovs).
 """
 
 from __future__ import annotations
@@ -20,17 +23,19 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Camera:
-    # dynamic leaves
+    # dynamic leaves (fovs included: host-only metadata, see module doc)
     world_view: Any  # (4,4) row-vector world→view (transposed classic matrix)
     full_proj: Any   # (4,4) row-vector world→clip
     campos: Any      # (3,) camera center in world space
+    fovx: float
+    fovy: float
     # static aux
     width: int = dataclasses.field(metadata=dict(static=True))
     height: int = dataclasses.field(metadata=dict(static=True))
-    fovx: float = dataclasses.field(metadata=dict(static=True))
-    fovy: float = dataclasses.field(metadata=dict(static=True))
-    znear: float = dataclasses.field(default=0.01, metadata=dict(static=True))
-    zfar: float = dataclasses.field(default=100.0, metadata=dict(static=True))
+    # dynamic with defaults (host metadata too — the viewer feeds
+    # arbitrary znear/zfar per message; static would recompile each)
+    znear: float = 0.01
+    zfar: float = 100.0
 
     @property
     def tanfovx(self) -> float:

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import math
 import os
 from typing import List, Optional
 
@@ -121,7 +120,7 @@ def read_colmap_scene(path: str, images_dir: str = "images",
                      ply_path=ply_path)
 
 
-def _read_blender_cameras(path: str, transforms_file: str, white_bg: bool,
+def _read_blender_cameras(path: str, transforms_file: str,
                           extension: str = ".png") -> List[CameraInfo]:
     with open(os.path.join(path, transforms_file)) as f:
         meta = json.load(f)
@@ -148,21 +147,28 @@ def _read_blender_cameras(path: str, transforms_file: str, white_bg: bool,
 def read_blender_scene(path: str, white_background: bool = False,
                        eval_split: bool = True,
                        extension: str = ".png") -> SceneInfo:
-    train = _read_blender_cameras(path, "transforms_train.json",
-                                  white_background, extension)
-    test = _read_blender_cameras(path, "transforms_test.json",
-                                 white_background, extension) \
-        if (eval_split and
-            os.path.exists(os.path.join(path, "transforms_test.json"))) \
+    train = _read_blender_cameras(path, "transforms_train.json", extension)
+    test = _read_blender_cameras(path, "transforms_test.json", extension) \
+        if os.path.exists(os.path.join(path, "transforms_test.json")) \
         else []
+    if not eval_split:
+        # reference readNerfSyntheticInfo: without --eval the test frames
+        # JOIN the training set (and the NeRF++ normalization radius is
+        # computed over the merged cameras)
+        train = train + test
+        test = []
 
     ply_path = os.path.join(path, "points3d.ply")
     if not os.path.exists(ply_path):
         n = 100_000
         rng = np.random.default_rng(0)
         xyz = (rng.random((n, 3)).astype(np.float32) * 2.6 - 1.3)
-        rgb = rng.random((n, 3)).astype(np.float32)
-        write_point_cloud(ply_path, xyz, rgb)
+        # reference: shs = random/255; colors = SH2RGB(shs) ~= 0.5 + eps
+        # (near-constant gray, NOT uniform random colors — a spread init
+        # puts DC features at +-1.8 and changes early optimization)
+        from ..ops.sh import sh_to_rgb
+        rgb = sh_to_rgb(rng.random((n, 3)).astype(np.float32) / 255.0)
+        write_point_cloud(ply_path, xyz, np.asarray(rgb, np.float32))
     pcd = read_point_cloud(ply_path)
 
     return SceneInfo(point_cloud=pcd, train_cameras=train,
@@ -184,7 +190,13 @@ def load_image(info: CameraInfo, resolution_arg: int = -1,
                white_background: bool = False):
     """Resolution policy + RGBA handling of utils/camera_utils.py:19-49 and
     dataset_readers.py:204-210. Returns (image (3,H,W) f32, alpha or None,
-    (W, H))."""
+    (W, H)).
+
+    Reference ordering preserved: RGBA frames are alpha-composited onto
+    the background at FULL resolution and uint8-quantized (the Blender
+    reader builds a composited PIL image) BEFORE the resize — resizing
+    unassociated alpha first gives different silhouette pixels. Target
+    dims use round() like camera_utils, not truncation."""
     with Image.open(info.image_path) as pil:
         orig_w, orig_h = pil.size
         if resolution_arg in (1, 2, 4, 8):
@@ -197,18 +209,30 @@ def load_image(info: CameraInfo, resolution_arg: int = -1,
             if resolution_arg > 0:
                 global_down = orig_w / resolution_arg
             scale = global_down * resolution_scale
-        w = int(orig_w / scale)
-        h = int(orig_h / scale)
-        pil = pil.resize((w, h))
+        w = round(orig_w / scale)
+        h = round(orig_h / scale)
+
+        arr_full = np.asarray(pil)
+        if arr_full.ndim == 3 and arr_full.shape[-1] == 4:
+            norm = arr_full.astype(np.float32) / 255.0
+            bg = np.ones(3, np.float32) if white_background else \
+                np.zeros(3, np.float32)
+            comp = norm[..., :3] * norm[..., 3:4] + bg * (1 - norm[..., 3:4])
+            pil_rgb = Image.fromarray(
+                (np.clip(comp, 0, 1) * 255).astype(np.uint8), "RGB")
+            pil_a = Image.fromarray(arr_full[..., 3], "L")
+            if (w, h) != (orig_w, orig_h):
+                pil_rgb = pil_rgb.resize((w, h))
+                pil_a = pil_a.resize((w, h))
+            rgb = np.asarray(pil_rgb).astype(np.float32) / 255.0
+            alpha = (np.asarray(pil_a).astype(np.float32) / 255.0)[..., None]
+            return (rgb.transpose(2, 0, 1),
+                    alpha.transpose(2, 0, 1), (w, h))
+
+        if (w, h) != (orig_w, orig_h):
+            pil = pil.resize((w, h))
         arr = np.asarray(pil).astype(np.float32) / 255.0
 
     if arr.ndim == 2:
         arr = arr[..., None].repeat(3, -1)
-    if arr.shape[-1] == 4:
-        alpha = arr[..., 3:4]
-        bg = np.ones(3, np.float32) if white_background else \
-            np.zeros(3, np.float32)
-        rgb = arr[..., :3] * alpha + bg * (1 - alpha)
-        return (rgb.transpose(2, 0, 1),
-                alpha.transpose(2, 0, 1), (w, h))
     return arr[..., :3].transpose(2, 0, 1), None, (w, h)

@@ -57,7 +57,7 @@ class Scene:
         else:
             info = read_blender_scene(args.source_path,
                                       args.white_background,
-                                      eval_split=True)
+                                      eval_split=args.eval)
         self.scene_info: SceneInfo = info
         self.cameras_extent = info.nerf_normalization["radius"]
 

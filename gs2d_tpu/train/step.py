@@ -14,7 +14,6 @@ reference's retain_grad dummy tensor.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any
 
 import jax

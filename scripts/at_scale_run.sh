@@ -31,7 +31,7 @@ fi
 # start pairs capacity at 4M: the scene densifies toward ~10M pairs, so
 # a 512k start would pay ~5 overflow-doubling recompiles (minutes each
 # on the flaky remote-compile tunnel); 4M leaves 1-2 amortized doublings
-python train.py -s "$DATA" -m "$OUT" --iterations 30000 \
+python train.py -s "$DATA" -m "$OUT" --eval --iterations 30000 \
   --pairs_capacity $((1<<22)) \
   --lambda_dist 10 --no_viewer --run_log "$LOG" $RESUME \
   --test_iterations 7000 15000 30000 \
