@@ -133,13 +133,17 @@ def init_from_pcd(points: np.ndarray, colors: np.ndarray, capacity: int,
 
 
 def grow_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
-    """Host-side re-pad to a larger capacity bucket (recompiles users)."""
+    """Re-pad to a larger capacity bucket (recompiles users). Pads ON
+    DEVICE: np.asarray on a process-sharded array (multi-host gauss
+    axis) raises 'spans non-addressable devices' — the ZeRO-style
+    sharded configuration would crash at its first capacity doubling."""
     old = state.capacity
     assert new_capacity >= old
 
     def pad(x):
-        pad_width = [(0, new_capacity - old)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.asarray(np.pad(np.asarray(x), pad_width))
+        x = jnp.asarray(x)
+        zeros = jnp.zeros((new_capacity - old,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([x, zeros], axis=0)
 
     return GaussianState(
         params=jax.tree_util.tree_map(pad, state.params),

@@ -3,9 +3,11 @@
 Contracts mirrored (see /root/reference/utils/graphics_utils.py:31-77 and
 /root/reference/scene/cameras.py:57-60):
 
-- Row-vector convention throughout: a homogeneous point multiplies matrices
-  on the right, ``p_h @ M``. ``world_view`` and ``projection`` below are
-  already the transposed matrices the reference stores.
+- ``world_to_view`` and ``projection_matrix`` return the CLASSIC
+  column-vector matrices (as the reference's getWorld2View2 /
+  getProjectionMatrix do); scene/cameras.py transposes them into the
+  row-vector ``p_h @ M`` forms the pipeline consumes — do NOT pass these
+  untransposed into preprocess().
 - Projection: OpenGL-style frustum with z_sign=+1 and the reference's
   depth remap rows, so clip-space w equals camera-space z.
 - ndc→pixel: x_pix = x_ndc * W/2 + (W-1)/2 (half-pixel-centered).
@@ -64,9 +66,11 @@ def ndc_to_pix_matrix(width: int, height: int) -> np.ndarray:
     """4x4 (row-vector form) mapping NDC homogeneous coords to pixel coords.
 
     Matches the matrix built inline at
-    /root/reference/gaussian_renderer/__init__.py:69-73 (transposed there):
-    x_pix = x_ndc·W/2 + w·(W−1)/2, z row kept as a (far−near, near) depth
-    remap, w passthrough.
+    /root/reference/gaussian_renderer/__init__.py:69-73 (transposed
+    there): x_pix = x_ndc·W/2 + w·(W−1)/2, w passthrough. The z row here
+    is identity (NOT the reference's (far−near, near) remap) — harmless
+    because both implementations drop it (preprocess.py keeps columns
+    [0, 1, 3] only); consume z from the homography's c2 column instead.
     """
     W, H = float(width), float(height)
     M = np.array(
@@ -81,20 +85,3 @@ def ndc_to_pix_matrix(width: int, height: int) -> np.ndarray:
     return M.T  # row-vector form
 
 
-def project_points(xyz: jnp.ndarray, full_proj_rowmajor: jnp.ndarray,
-                   eps: float = 1e-7):
-    """Project world points through the row-vector full projection.
-
-    Args:
-      xyz: [N, 3] world points.
-      full_proj_rowmajor: [4, 4] world→clip, row-vector convention
-        (i.e. the reference camera's ``full_proj_transform``).
-
-    Returns:
-      (ndc [N, 3], w [N]) — w is camera-space depth for this projection.
-    """
-    ones = jnp.ones_like(xyz[..., :1])
-    p_hom = jnp.concatenate([xyz, ones], axis=-1) @ full_proj_rowmajor
-    w = p_hom[..., 3]
-    ndc = p_hom[..., :3] / (w[..., None] + eps)
-    return ndc, w

@@ -262,8 +262,10 @@ def _grow_opt(opt, new_cap):
     from ..train.optim import AdamState
 
     def pad(x):
-        pw = [(0, new_cap - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-        return jnp.asarray(np.pad(np.asarray(x), pw))
+        # device-side (multi-host-safe), mirroring models.grow_capacity
+        x = jnp.asarray(x)
+        zeros = jnp.zeros((new_cap - x.shape[0],) + x.shape[1:], x.dtype)
+        return jnp.concatenate([x, zeros], axis=0)
 
     return AdamState(mu=jax.tree_util.tree_map(pad, opt.mu),
                      nu=jax.tree_util.tree_map(pad, opt.nu),

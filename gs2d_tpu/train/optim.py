@@ -66,13 +66,12 @@ def adam_step(params: GaussianParams, grads: GaussianParams,
                       nu=GaussianParams(**new_v), step=step))
 
 
-def make_lrs(spatial_lr_scale: float, xyz_lr: jnp.ndarray, *,
+def make_lrs(xyz_lr: jnp.ndarray, *,
              feature_lr: float = 0.0025, opacity_lr: float = 0.05,
              scaling_lr: float = 0.005,
              rotation_lr: float = 0.001) -> GaussianParams:
     """Per-group LRs (reference :153-160); xyz_lr is the scheduled value
     already scaled by the scene extent."""
-    del spatial_lr_scale
     return GaussianParams(
         xyz=xyz_lr,
         features_dc=jnp.float32(feature_lr),

@@ -101,7 +101,7 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
             opt_cfg.position_lr_final * spatial_lr_scale,
             lr_delay_mult=opt_cfg.position_lr_delay_mult,
             max_steps=opt_cfg.position_lr_max_steps)
-        lrs = make_lrs(spatial_lr_scale, xyz_lr,
+        lrs = make_lrs(xyz_lr,
                        feature_lr=opt_cfg.feature_lr,
                        opacity_lr=opt_cfg.opacity_lr,
                        scaling_lr=opt_cfg.scaling_lr,

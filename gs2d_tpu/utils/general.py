@@ -29,7 +29,3 @@ def expon_lr(step, lr_init: float, lr_final: float,
     return jnp.where(active, delay_rate * log_lerp, 0.0)
 
 
-def build_colormap_turbo():
-    """Turbo colormap lookup (matplotlib-free fallback handled by caller)."""
-    import matplotlib.cm as cm
-    return cm.get_cmap("turbo")

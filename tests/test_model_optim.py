@@ -40,7 +40,7 @@ def test_adam_matches_torch():
         g = rng.normal(size=(n, 3)).astype(np.float32)
         grads = jax.tree_util.tree_map(jnp.zeros_like, params)
         grads = dataclasses.replace(grads, xyz=jnp.asarray(g))
-        lrs = make_lrs(1.0, jnp.float32(0.01))
+        lrs = make_lrs(jnp.float32(0.01))
         params, opt = adam_step(params, grads, opt, lrs, active)
 
         tp.grad = torch.tensor(g)
