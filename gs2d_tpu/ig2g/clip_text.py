@@ -121,27 +121,35 @@ class PromptEncoder:
         self.cfg = cfg
         if params is None:
             from safetensors.numpy import load_file
+
+            from .sd_weights import _to_params
             path = os.path.join(root, "text_encoder", "model.safetensors")
             if not os.path.exists(path):
                 raise FileNotFoundError(
                     f"CLIP text encoder not found at {path}")
-            raw = load_file(path)
-            shapes = clip_param_shapes(cfg)
-            params = {k: jnp.asarray(np.asarray(raw[k]), jnp.float32)
-                      for k in shapes}
+            # _to_params gives the missing-key report and shape checks a
+            # bare raw[k] lookup lacks (a wrong-variant text tower with
+            # matching names but different widths must fail HERE, not as
+            # an opaque dot-shape error inside jit)
+            params = _to_params(load_file(path), clip_param_shapes(cfg),
+                                "clip")
         self.params = params
         if tokenizer is None:
             from transformers import CLIPTokenizer
             tokenizer = CLIPTokenizer.from_pretrained(
                 os.path.join(root, "tokenizer"))
         self.tok = tokenizer
+        # params passed as an ARGUMENT: closing over them would bake
+        # ~492 MB of weights into the HLO as constants (slow trace, and
+        # a weight-dependent module hash that defeats the persistent
+        # compile cache)
         self._apply = jax.jit(
-            lambda ids: clip_text_apply(self.cfg, self.params, ids))
+            lambda params, ids: clip_text_apply(self.cfg, params, ids))
 
     def encode(self, prompt: str) -> jnp.ndarray:
         T = self.cfg.max_positions
         ids = self.tok([prompt, ""], padding="max_length", max_length=T,
                        truncation=True, return_tensors="np").input_ids
-        emb = self._apply(jnp.asarray(ids, jnp.int32))
+        emb = self._apply(self.params, jnp.asarray(ids, jnp.int32))
         text, uncond = emb[0:1], emb[1:2]
         return jnp.concatenate([text, uncond, uncond], axis=0)

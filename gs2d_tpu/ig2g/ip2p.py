@@ -139,6 +139,11 @@ class JaxSDBackend:
         self.vae_params = vae_params
         self.freeu = freeu
         self._key = jax.random.PRNGKey(seed ^ 0x5EED)
+        # params are passed as ARGUMENTS, never closed over: jit folds
+        # closure arrays into the lowered module as constants — 3.4 GB of
+        # UNet weights baked into the HLO bloats trace/compile and makes
+        # the module hash weight-dependent, defeating the persistent
+        # compile cache (memory: constants force cold compiles)
         self._jit_unet = jax.jit(self._unet_raw)
         self._jit_unet_fused = jax.jit(self._unet_fused_raw,
                                        static_argnames=("lam",))
@@ -146,45 +151,46 @@ class JaxSDBackend:
         self._jit_encode_moments = jax.jit(self._encode_moments_raw)
 
     # -- VAE boundary ----------------------------------------------------
-    def _encode_moments_raw(self, img):
+    def _encode_moments_raw(self, vae_params, img):
         from .vae import vae_encode_moments
-        return vae_encode_moments(self.vae_cfg, self.vae_params,
+        return vae_encode_moments(self.vae_cfg, vae_params,
                                   img * 2.0 - 1.0)
 
     def encode(self, img):
         """Posterior sample (reference imgs_to_latent), unscaled."""
-        mean, logvar = self._jit_encode_moments(img)
+        from .vae import vae_sample
+        mean, logvar = self._jit_encode_moments(self.vae_params, img)
         self._key, sub = jax.random.split(self._key)
-        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
-        return mean + std * jax.random.normal(sub, mean.shape)
+        return vae_sample(mean, logvar, sub)
 
     def encode_mode(self, img):
         """Posterior mode (reference prepare_image_latents), unscaled."""
-        return self._jit_encode_moments(img)[0]
+        return self._jit_encode_moments(self.vae_params, img)[0]
 
-    def _decode_raw(self, lat):
+    def _decode_raw(self, vae_params, lat):
         from .vae import SD_LATENT_SCALE, vae_decode
-        img = vae_decode(self.vae_cfg, self.vae_params,
+        img = vae_decode(self.vae_cfg, vae_params,
                          lat / SD_LATENT_SCALE)
         return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
     def decode(self, lat):
-        return self._jit_decode(lat)
+        return self._jit_decode(self.vae_params, lat)
 
     # -- UNet boundary ---------------------------------------------------
-    def _unet_raw(self, latents3, cond3, ctx3, t):
+    def _unet_raw(self, unet_params, latents3, cond3, ctx3, t):
         from .sdnet import unet_apply
         x = jnp.concatenate([latents3, cond3], axis=1)   # (3, 8, h, w)
-        return unet_apply(self.unet_cfg, self.unet_params, x, t, ctx3,
+        return unet_apply(self.unet_cfg, unet_params, x, t, ctx3,
                           freeu=self.freeu)
 
-    def _unet_fused_raw(self, latents3, skips_src3, cond3, ctx3, t, lam):
+    def _unet_fused_raw(self, unet_params, latents3, skips_src3, cond3,
+                        ctx3, t, lam):
         from .sdnet import unet_apply_fused, unet_apply_intermediate
         x_skips = jnp.concatenate([skips_src3, cond3], axis=1)
-        skips2 = unet_apply_intermediate(self.unet_cfg, self.unet_params,
+        skips2 = unet_apply_intermediate(self.unet_cfg, unet_params,
                                          x_skips, t, ctx3)
         x = jnp.concatenate([latents3, cond3], axis=1)
-        return unet_apply_fused(self.unet_cfg, self.unet_params, x, skips2,
+        return unet_apply_fused(self.unet_cfg, unet_params, x, skips2,
                                 lam, t, ctx3, freeu=self.freeu)
 
     def make_eps_predictor(self, schedule, image_cond_latents,
@@ -193,8 +199,8 @@ class JaxSDBackend:
 
         def predict(latents, t):
             lat3 = jnp.concatenate([latents] * 3, axis=0)
-            eps = self._jit_unet(lat3, cond3, text_embeddings,
-                                 jnp.int32(t))
+            eps = self._jit_unet(self.unet_params, lat3, cond3,
+                                 text_embeddings, jnp.int32(t))
             return eps[0:1], eps[1:2], eps[2:3]
         return predict
 
@@ -208,8 +214,9 @@ class JaxSDBackend:
         def predict_fused(latents_backbone, latents_skips, t):
             b3 = jnp.concatenate([latents_backbone] * 3, axis=0)
             s3 = jnp.concatenate([latents_skips] * 3, axis=0)
-            eps = self._jit_unet_fused(b3, s3, cond3, text_embeddings,
-                                       jnp.int32(t), float(lam))
+            eps = self._jit_unet_fused(self.unet_params, b3, s3, cond3,
+                                       text_embeddings, jnp.int32(t),
+                                       float(lam))
             return eps[0:1], eps[1:2], eps[2:3]
         return predict_fused
 

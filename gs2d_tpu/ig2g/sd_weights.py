@@ -27,9 +27,16 @@ ENV_VAR = "GS2D_SD_WEIGHTS"
 
 
 def weights_root(root: str | None = None) -> str | None:
-    root = root or os.environ.get(ENV_VAR)
+    env = os.environ.get(ENV_VAR)
+    root = root or env
     if root and os.path.isdir(root):
         return root
+    if root:
+        # set but wrong — surface the typo instead of the generic
+        # "no SD weights" message downstream
+        raise FileNotFoundError(
+            f"{ENV_VAR or 'weights_root'} points at {root!r}, which is "
+            "not a directory")
     return None
 
 
@@ -38,7 +45,35 @@ def _load_safetensors(path: str) -> dict:
     return load_file(path)
 
 
+# The published timbrooks/instruct-pix2pix VAE was exported by an old
+# diffusers whose AttentionBlock stored mid-block attention as
+# {query,key,value,proj_attn}; modern diffusers remaps these at load
+# (_convert_deprecated_attention_blocks). Same remap here.
+_LEGACY_ATTN = {".to_q.": ".query.", ".to_k.": ".key.",
+                ".to_v.": ".value.", ".to_out.0.": ".proj_attn."}
+
+
+def _legacy_name(name: str):
+    for new, old in _LEGACY_ATTN.items():
+        if new in name:
+            return name.replace(new, old)
+    return None
+
+
 def _to_params(raw: dict, shapes: dict, what: str) -> dict:
+    raw = dict(raw)
+    for name in shapes:
+        if name not in raw:
+            legacy = _legacy_name(name)
+            if legacy is not None and legacy in raw:
+                arr = raw[legacy]
+                # legacy attention projections are (C, C, 1, 1) convs or
+                # (C, C) linears depending on exporter; squeeze to match
+                want = shapes[name]
+                if tuple(arr.shape) != tuple(want) and \
+                        tuple(arr.shape[:2]) == tuple(want[:2]):
+                    arr = arr.reshape(want)
+                raw[name] = arr
     missing = sorted(set(shapes) - set(raw))
     if missing:
         raise ValueError(

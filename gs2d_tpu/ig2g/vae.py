@@ -95,13 +95,20 @@ def vae_encode_moments(cfg: VAEConfig, p: dict, img: jnp.ndarray):
     return jnp.split(moments, 2, axis=1)
 
 
+def vae_sample(mean, logvar, key):
+    """Reparameterized posterior sample with the diffusers logvar clip
+    (the ONE place the clipping bounds / sampling convention live —
+    JaxSDBackend.encode and vae_encode both call it)."""
+    std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+    return mean + std * jax.random.normal(key, mean.shape)
+
+
 def vae_encode(cfg, p, img, key=None):
     """Posterior sample (key given) or mode (key None), unscaled."""
     mean, logvar = vae_encode_moments(cfg, p, img)
     if key is None:
         return mean
-    std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
-    return mean + std * jax.random.normal(key, mean.shape)
+    return vae_sample(mean, logvar, key)
 
 
 def vae_decode(cfg: VAEConfig, p: dict, lat: jnp.ndarray) -> jnp.ndarray:
