@@ -18,7 +18,8 @@ from typing import Optional
 import numpy as np
 
 from ..scene.ply import read_mesh_ply, read_point_cloud
-from .geometry import chamfer_distance, sample_mesh_points, thin_points
+from .geometry import (chamfer_distance, nn_distances,
+                       sample_mesh_points, thin_points)
 
 
 def load_idr_cameras(cameras_npz_path: str, n_images: int):
@@ -112,31 +113,81 @@ def evaluate_scan(mesh_path: str, gt_points_path: str,
 def evaluate_scan_mesh(verts, faces, gt_points_path: str,
                        obs_mask_path: Optional[str] = None,
                        density: float = 0.2, max_dist: float = 20.0,
-                       n_samples: int = 2_000_000) -> dict:
+                       n_samples: int = 2_000_000,
+                       plane_path: Optional[str] = None) -> dict:
+    """Reference eval.py:43-158 point-filter pipeline:
+
+      data (sampled mesh + vertices, thinned) →
+        bbox filter [BB0−60, BB1+120)          → data_in
+        ObsMask filter on data_in              → data_grid_in
+      d2s (accuracy)     = NN(data_grid_in → stl)
+      s2d (completeness) = NN(stl above plane → data_in)   ← bbox-only!
+
+    The ground plane lives in a SEPARATE Plane{scan}.mat in official DTU
+    data (ObsMask{scan}_10.mat has only ObsMask/BB/Res) — resolved from
+    plane_path, a sibling Plane file, or an inline 'P' key (fixtures).
+    Sample count scales with the culled surface area so point spacing
+    stays under the thinning radius (the reference samples a ~0.2 mm
+    triangle grid, whose density is area-derived)."""
+    # area-derived sample count: ≥4 samples per density² cell
+    tri = verts[faces]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), -1).sum()
+    if density > 0:
+        n_samples = int(min(max(n_samples, 4 * area / density ** 2),
+                            20_000_000))
     pts = sample_mesh_points(verts, faces, n_samples)
+    # reference keeps the mesh vertices too — but only REFERENCED ones
+    # (its cull step removes unreferenced vertices; ours filters faces
+    # only, so culled-away floater vertices must not sneak back in)
+    used = np.zeros(len(verts), bool)
+    used[np.asarray(faces).ravel()] = True
+    pts = np.concatenate([pts, verts[used]], 0)
     pts = thin_points(pts, density) if density > 0 else pts
 
     gt, _, _ = read_point_cloud(gt_points_path)
 
     if obs_mask_path and os.path.exists(obs_mask_path):
+        import re
+
         import scipy.io as sio
         md = sio.loadmat(obs_mask_path)
         obs_mask, bb, res = md["ObsMask"], md["BB"], float(md["Res"])
-        # keep data points inside the observability mask
-        gidx = ((pts - bb[0]) / res).round().astype(int)
+        patch = 60.0
+        inb = ((pts >= bb[0] - patch) & (pts < bb[1] + 2 * patch)).all(-1)
+        data_in = pts[inb]
+        gidx = ((data_in - bb[0]) / res).round().astype(int)
         ok = ((gidx >= 0) & (gidx < np.array(obs_mask.shape))).all(-1)
-        sel = np.zeros(len(pts), bool)
+        sel = np.zeros(len(data_in), bool)
         sel[ok] = obs_mask[tuple(gidx[ok].T)] > 0
-        pts_f = pts[sel]
-        # keep GT above the ground plane
+        data_grid_in = data_in[sel]
+
         plane = md.get("P")
-        gt_f = gt
+        if plane is None:
+            cand = plane_path
+            if cand is None:
+                m = re.search(r"(\d+)", os.path.basename(obs_mask_path))
+                if m:
+                    cand = os.path.join(os.path.dirname(obs_mask_path),
+                                        f"Plane{m.group(1)}.mat")
+            if cand and os.path.exists(cand):
+                plane = sio.loadmat(cand)["P"]
+        gt_above = gt
         if plane is not None:
             h = np.concatenate([gt, np.ones((len(gt), 1))], -1) @ plane
-            gt_f = gt[h[:, 0] > 0]
-    else:
-        pts_f, gt_f = pts, gt
+            gt_above = gt[h[:, 0] > 0]
 
-    d2s, s2d = chamfer_distance(pts_f, gt_f, max_dist=max_dist)
+        # empty filtered sets mean the mesh lies wholly outside the
+        # scored region (e.g. wrong frame without cull) — score inf,
+        # not nan, so comparisons still order it as "worse than anything"
+        d2s = (float(np.mean(np.minimum(
+            nn_distances(data_grid_in, gt), max_dist)))
+            if len(data_grid_in) else float("inf"))
+        s2d = (float(np.mean(np.minimum(
+            nn_distances(gt_above, data_in), max_dist)))
+            if len(data_in) and len(gt_above) else float("inf"))
+    else:
+        d2s, s2d = chamfer_distance(pts, gt, max_dist=max_dist)
+
     return {"mean_d2s": d2s, "mean_s2d": s2d,
             "overall": (d2s + s2d) / 2.0}

@@ -21,7 +21,11 @@ def sample_mesh_points(verts: np.ndarray, faces: np.ndarray,
     cross = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
     area = 0.5 * np.linalg.norm(cross, axis=-1)
     if area.sum() <= 0:
-        return verts[:n_points].copy()
+        # a degenerate/fully-culled mesh must fail loudly — silently
+        # scoring the raw (possibly culled-away) vertices produces a
+        # plausible-looking chamfer for garbage input
+        raise ValueError(
+            "mesh has zero total surface area (all faces culled?)")
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(faces), n_points, p=area / area.sum())
     u = rng.random(n_points)
@@ -34,18 +38,36 @@ def sample_mesh_points(verts: np.ndarray, faces: np.ndarray,
 
 
 def thin_points(points: np.ndarray, density: float) -> np.ndarray:
-    """Min-distance thinning (the DTU eval's reducePts, ~O(N log N))."""
-    tree = cKDTree(points)
-    keep = np.ones(len(points), bool)
-    order = np.random.default_rng(0).permutation(len(points))
+    """Min-distance thinning (the DTU eval's reducePts semantics:
+    greedy random-order filter keeping no two points within ``density``).
+
+    Two-phase for speed at protocol scale AND robustness to clustered
+    clouds: (1) a vectorized voxel dedup at density/sqrt(3) — any two
+    points in one voxel are within density, so greedy would keep exactly
+    one of them anyway (which one is within the protocol's own
+    random-order variance); (2) exact greedy thinning over the survivors
+    with one BATCHED radius query (ball sizes are now O(10), unlike the
+    reference fixture pathology where per-ball membership reaches 1e5
+    and precomputing 2M such lists explodes)."""
+    if len(points) == 0:
+        return points
+    vox = density / np.sqrt(3.0)
+    keys = np.floor((points - points.min(0)) / vox).astype(np.int64)
+    _, first = np.unique(keys, axis=0, return_index=True)
+    pts = points[np.sort(first)]
+
+    tree = cKDTree(pts)
+    neighbors = tree.query_ball_point(pts, density, workers=-1)
+    keep = np.ones(len(pts), bool)
+    order = np.random.default_rng(0).permutation(len(pts))
     for i in order:
         if not keep[i]:
             continue
-        for j in tree.query_ball_point(points[i], density):
+        for j in neighbors[i]:
             if j != i:
                 keep[j] = False
         keep[i] = True
-    return points[keep]
+    return pts[keep]
 
 
 def nn_distances(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -52,7 +52,7 @@ class LPIPS:
         return _lpips_fn(self.params, x, y)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _lpips_fn(params, x, y):
     def feats(img):
         # NOTE: the reference's vendored lpipsPyTorch z-scores the [0,1]

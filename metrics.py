@@ -40,40 +40,49 @@ def evaluate(model_paths, split="test"):
 
     lpips = LPIPS()
     for model_path in model_paths:
-        print("Scene:", model_path)
-        full, per_view = {}, {}
-        test_dir = os.path.join(model_path, split)
-        if not os.path.isdir(test_dir):
-            print("  no", split, "dir; skipping")
-            continue
-        for method in sorted(os.listdir(test_dir)):
-            print("Method:", method)
-            mdir = os.path.join(test_dir, method)
-            renders, gts, names = read_images(
-                os.path.join(mdir, "renders"), os.path.join(mdir, "gt"))
-            ssims, psnrs, lpipss = [], [], []
-            for r, g in zip(renders, gts):
-                rj, gj = jnp.asarray(r), jnp.asarray(g)
-                ssims.append(float(ssim_fn(rj, gj)))
-                psnrs.append(float(psnr_fn(rj, gj)))
-                lpipss.append(float(lpips(rj, gj))
-                              if lpips.available() else None)
-            mean = lambda xs: (sum(xs) / len(xs)
-                               if xs and xs[0] is not None else None)
-            print(f"  SSIM : {mean(ssims):.7f}")
-            print(f"  PSNR : {mean(psnrs):.7f}")
-            print(f"  LPIPS: {mean(lpipss)}")
-            full[method] = {"SSIM": mean(ssims), "PSNR": mean(psnrs),
-                            "LPIPS": mean(lpipss)}
-            per_view[method] = {
-                "SSIM": dict(zip(names, ssims)),
-                "PSNR": dict(zip(names, psnrs)),
-                "LPIPS": dict(zip(names, lpipss)),
-            }
-        with open(os.path.join(model_path, "results.json"), "w") as f:
-            json.dump(full, f, indent=2)
-        with open(os.path.join(model_path, "per_view.json"), "w") as f:
-            json.dump(per_view, f, indent=2)
+        # per-scene isolation like the reference metrics.py: a broken
+        # method dir (empty renders/, stray file) must not abort the
+        # remaining scenes or lose already-computed results
+        try:
+            print("Scene:", model_path)
+            full, per_view = {}, {}
+            test_dir = os.path.join(model_path, split)
+            if not os.path.isdir(test_dir):
+                print("  no", split, "dir; skipping")
+                continue
+            for method in sorted(os.listdir(test_dir)):
+                print("Method:", method)
+                mdir = os.path.join(test_dir, method)
+                renders, gts, names = read_images(
+                    os.path.join(mdir, "renders"), os.path.join(mdir, "gt"))
+                if not renders:
+                    print("  no renders; skipping method")
+                    continue
+                ssims, psnrs, lpipss = [], [], []
+                for r, g in zip(renders, gts):
+                    rj, gj = jnp.asarray(r), jnp.asarray(g)
+                    ssims.append(float(ssim_fn(rj, gj)))
+                    psnrs.append(float(psnr_fn(rj, gj)))
+                    lpipss.append(float(lpips(rj, gj))
+                                  if lpips.available() else None)
+                mean = lambda xs: (sum(xs) / len(xs)
+                                   if xs and xs[0] is not None else None)
+                print(f"  SSIM : {mean(ssims):.7f}")
+                print(f"  PSNR : {mean(psnrs):.7f}")
+                print(f"  LPIPS: {mean(lpipss)}")
+                full[method] = {"SSIM": mean(ssims), "PSNR": mean(psnrs),
+                                "LPIPS": mean(lpipss)}
+                per_view[method] = {
+                    "SSIM": dict(zip(names, ssims)),
+                    "PSNR": dict(zip(names, psnrs)),
+                    "LPIPS": dict(zip(names, lpipss)),
+                }
+            with open(os.path.join(model_path, "results.json"), "w") as f:
+                json.dump(full, f, indent=2)
+            with open(os.path.join(model_path, "per_view.json"), "w") as f:
+                json.dump(per_view, f, indent=2)
+        except Exception as e:              # noqa: BLE001 — reference parity
+            print("Unable to compute metrics for", model_path, ":", e)
 
 
 if __name__ == "__main__":
