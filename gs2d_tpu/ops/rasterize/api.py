@@ -16,8 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .binning import (MAX_PAIRS_CAPACITY, BinningOut, alloc_size,
-                      bin_gaussians)
+from .binning import MAX_PAIRS_CAPACITY, BinningOut, bin_gaussians
 from .common import (NUM_OUT, TILE_H, TILE_PX, TILE_W, cdiv, pad_to)
 from .kernel_fwd import rasterize_fwd_pallas
 from .oracle import rasterize_oracle
@@ -58,17 +57,6 @@ def untile(out_tiles: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     x = out_tiles.reshape(nty, ntx, NUM_OUT, TILE_H, TILE_W)
     x = x.transpose(2, 0, 3, 1, 4).reshape(NUM_OUT, nty * TILE_H, ntx * TILE_W)
     return x[:, :height, :width]
-
-
-def tile_cotangent(g: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
-    """Inverse of untile for cotangents: (NUM_OUT, H, W) → (T, NUM_OUT, PX),
-    zero-padding the out-of-image border pixels."""
-    ntx = cdiv(width, TILE_W)
-    nty = cdiv(height, TILE_H)
-    wp, hp = ntx * TILE_W, nty * TILE_H
-    gp = jnp.zeros((NUM_OUT, hp, wp), g.dtype).at[:, :height, :width].set(g)
-    x = gp.reshape(NUM_OUT, nty, TILE_H, ntx, TILE_W)
-    return x.transpose(1, 3, 0, 2, 4).reshape(nty * ntx, NUM_OUT, TILE_PX)
 
 
 @jax.custom_vjp
@@ -186,6 +174,17 @@ def _core_bwd(cfg, res, g):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
+@functools.lru_cache(maxsize=64)
+def _probe_fn(width: int, height: int, capacity: int, chunk: int,
+              cull: bool):
+    if cull:
+        return jax.jit(lambda c2, ex, dp, vis, abc, r2m: bin_gaussians(
+            c2, ex, dp, vis, width, height, capacity, chunk,
+            cull_abc=abc, rho2max=r2m))
+    return jax.jit(lambda c2, ex, dp, vis: bin_gaussians(
+        c2, ex, dp, vis, width, height, capacity, chunk))
+
+
 def suggest_capacities(pre: PreprocessOut, width: int, height: int,
                        chunk: int = 128, slack: float = 1.1,
                        probe_capacity: int = 1 << 22,
@@ -202,19 +201,15 @@ def suggest_capacities(pre: PreprocessOut, width: int, height: int,
     demand fits."""
     for _ in range(8):
         # jitted probe: eager dispatch costs one host↔device round trip
-        # PER OP on tunneled backends (~60 ops × ~40 ms); the persistent
-        # compile cache makes the jitted form ~free across processes
+        # PER OP on tunneled backends (~60 ops × ~40 ms). The wrapper is
+        # cached per static config so repeat calls hit jit's trace cache
+        # (a fresh lambda per call would retrace every time); the
+        # persistent compile cache covers cross-process reuse.
+        fn = _probe_fn(width, height, probe_capacity, chunk, cull)
         if cull:
-            fn = jax.jit(lambda c2, ex, dp, vis, abc, r2m, _pc=probe_capacity:
-                         bin_gaussians(c2, ex, dp, vis, width, height,
-                                       _pc, chunk, cull_abc=abc,
-                                       rho2max=r2m))
             bins = fn(pre.center2d, pre.extent, pre.depth, pre.visible,
                       (pre.A, pre.B, pre.C), pre.rho2max)
         else:
-            fn = jax.jit(lambda c2, ex, dp, vis, _pc=probe_capacity:
-                         bin_gaussians(c2, ex, dp, vis, width, height,
-                                       _pc, chunk))
             bins = fn(pre.center2d, pre.extent, pre.depth, pre.visible)
         if not bool(bins.overflow):
             break

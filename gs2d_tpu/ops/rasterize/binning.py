@@ -61,14 +61,13 @@ class BinningOut(NamedTuple):
     num_expanded: jnp.ndarray  # () int32 pre-cull expansion pair demand
 
 
-def alloc_size(pairs_capacity: int, num_tiles: int, chunk: int) -> int:
-    """Slot-array allocation. ``pairs_capacity`` bounds the CHUNK-padded
-    slot total (real pairs + per-tile alignment padding), so the
-    allocation is exactly the capacity — the caller's overflow-growth
-    loop (train/loop.py) absorbs scenes that exceed it. Keeping every
-    capacity-proportional cost (sort, scatter, expansion gather, the
-    kernels' d_entries) tied to ONE knob roughly halves the binning+
-    gather cost vs a worst-case + T·chunk headroom."""
+def alloc_size(pairs_capacity: int) -> int:
+    """Slot-array allocation = exactly the capacity: it bounds the
+    CHUNK-padded slot total (real pairs + per-tile alignment padding),
+    and the caller's overflow-growth loop (train/loop.py) absorbs scenes
+    that exceed it. Keeping every capacity-proportional cost (sort,
+    scatter, expansion gather, the kernels' d_entries) tied to ONE knob
+    roughly halves the binning+gather cost vs worst-case headroom."""
     return pairs_capacity
 
 
@@ -140,6 +139,13 @@ def _pair_contributes(grec: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
     for ye in (y0, y1):
         xv = jnp.clip(-(qxy * ye + qx) / safe_xx, x0, x1)
         m = jnp.minimum(m, jnp.where(qxx > 0, Q(xv, ye), inf))
+    # clamped filter-center as an extra candidate: the edge/interior
+    # vertex LOCATIONS come from expanded coefficients that cancel
+    # catastrophically for near-edge-on splats; a badly-located vertex
+    # inflates the evaluated min (anti-conservative for a cull). The
+    # center is where alpha peaks, so its exact FMA-form value guards
+    # the common near-center-positive case at 2 clamps + one Q eval.
+    m = jnp.minimum(m, Q(jnp.clip(cx, x0, x1), jnp.clip(cy, y0, y1)))
     # interior critical point when the Hessian is SPD
     det = qxx * qyy - qxy * qxy
     spd = (qxx > 0) & (det > 0)
@@ -180,7 +186,14 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     ntx = cdiv(width, TILE_W)
     nty = cdiv(height, TILE_H)
     T = ntx * nty
-    P_fin = alloc_size(final_capacity or pairs_capacity, T, chunk)
+    P_fin = alloc_size(final_capacity or pairs_capacity)
+    if P_fin % chunk:
+        # the kernels DMA whole chunk-sized row blocks from [start,
+        # start+chunk); a non-aligned allocation lets the overflow clamp
+        # hand a partially-out-of-range chunk to the DMA engine
+        raise ValueError(
+            f"final slot capacity {P_fin} must be a multiple of the "
+            f"kernel chunk {chunk}")
     if pairs_capacity > MAX_PAIRS_CAPACITY or N > MAX_PAIRS_CAPACITY:
         raise ValueError("f32-exact pair bookkeeping requires "
                          "pairs_capacity and N <= 2^24 "
@@ -220,6 +233,13 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
 
     cum = jnp.cumsum(counts)                               # inclusive
     total = cum[-1]
+    # int32 cumsum wraps when raw demand exceeds 2^31 (possible early in
+    # training: millions of unconverged splats x thousands of tiles) —
+    # a wrapped-negative total makes pair_valid all-False AND the
+    # overflow flag False, so training would silently optimize against
+    # an empty render. A f32 sum cannot wrap; its rounding (~2^-24
+    # relative) is irrelevant at threshold scale.
+    demand_f = jnp.sum(counts.astype(jnp.float32))
 
     # Expand pairs into pair_capacity slots. Which Gaussian owns slot s is
     # searchsorted(cum, s, 'right'), but a binary search with 2M queries is
@@ -268,11 +288,12 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     right = jnp.searchsorted(key_sorted, tiles, side="right").astype(jnp.int32)
     tile_count = right - left
     num_pairs = right[-1]                           # post-cull survivors
-    padded = cdiv_arr(tile_count, chunk) * chunk
+    padded = cdiv(tile_count, chunk) * chunk
     aligned_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
     padded_total = aligned_start[-1] + padded[-1]   # chunk-padded slot need
-    overflow = (padded_total > P_fin) | (total > pairs_capacity)
+    overflow = ((padded_total > P_fin) | (total > pairs_capacity)
+                | (demand_f > jnp.float32(pairs_capacity)))
     # Clamp so every tile's padded range fits inside the allocation.
     avail = jnp.maximum(P_fin - aligned_start, 0)
     tile_count = jnp.minimum(tile_count, avail)
@@ -314,6 +335,3 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         num_expanded=total,
     )
 
-
-def cdiv_arr(a, b: int):
-    return -(-a // b)
