@@ -20,9 +20,13 @@ from .ops import DDIMSchedule
 
 
 def power_spectrum_2d(x: np.ndarray) -> np.ndarray:
-    """(C, H, W) → centered log-power spectrum averaged over channels."""
-    f = np.fft.fftshift(np.fft.fft2(np.asarray(x, np.float64)),
-                        axes=(-2, -1))
+    """(C, H, W) or grayscale (H, W) → centered log-power spectrum,
+    channel-averaged (the reference scripts feed IMREAD_GRAYSCALE 2-D
+    arrays)."""
+    x = np.asarray(x, np.float64)
+    if x.ndim == 2:
+        x = x[None]
+    f = np.fft.fftshift(np.fft.fft2(x), axes=(-2, -1))
     return np.log1p(np.abs(f) ** 2).mean(0)
 
 
@@ -52,19 +56,30 @@ def spectrum_similarity(a: np.ndarray, b: np.ndarray,
 def image_similarity_matrix(images: Sequence[np.ndarray],
                             metric: str = "l2") -> np.ndarray:
     """Pairwise similarity grid (image_similarity.py)."""
+    if metric not in ("l2", "cosine", "spectrum"):
+        raise ValueError(f"unknown metric {metric!r}")
     n = len(images)
     out = np.zeros((n, n))
+    if metric == "spectrum":
+        # precompute one radial spectrum per image (the naive pairwise
+        # form re-runs the FFT 2n^2 times) and exploit symmetry
+        specs = [radial_spectrum(im) for im in images]
+        norms = [np.linalg.norm(sp) for sp in specs]
+        for i in range(n):
+            for j in range(i, n):
+                v = float(np.dot(specs[i], specs[j])
+                          / (norms[i] * norms[j] + 1e-12))
+                out[i, j] = out[j, i] = v
+        return out
     for i in range(n):
-        for j in range(n):
+        for j in range(i, n):
             a, b = images[i], images[j]
             if metric == "l2":
-                out[i, j] = -np.sqrt(np.mean((a - b) ** 2))
-            elif metric == "cosine":
-                out[i, j] = (a.ravel() @ b.ravel()
-                             / (np.linalg.norm(a) * np.linalg.norm(b)
-                                + 1e-12))
-            elif metric == "spectrum":
-                out[i, j] = spectrum_similarity(a, b)
+                v = -np.sqrt(np.mean((a - b) ** 2))
+            else:
+                v = (a.ravel() @ b.ravel()
+                     / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+            out[i, j] = out[j, i] = v
     return out
 
 
@@ -72,7 +87,10 @@ def ddpm_sample(predict_eps, shape, key, num_steps: int = 50,
                 schedule: DDIMSchedule | None = None) -> jnp.ndarray:
     """Ancestral DDPM sampling loop (diffusion/main.py capability) with a
     pluggable ε-predictor."""
-    sched = schedule or DDIMSchedule()
+    # never mutate a caller-supplied schedule: set_timesteps would
+    # clobber its timesteps/step_ratio for later use
+    import copy
+    sched = copy.copy(schedule) if schedule is not None else DDIMSchedule()
     sched.set_timesteps(num_steps)
     key, sub = jax.random.split(key)
     x = jax.random.normal(sub, shape)

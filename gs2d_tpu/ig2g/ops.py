@@ -92,11 +92,16 @@ class DDIMSchedule:
         return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
 
     def step(self, noise_pred, t, latents):
-        """One reverse DDIM step from t to t - step_ratio."""
+        """One reverse DDIM step from t to t - step_ratio.
+
+        t_prev < 0 uses final_alpha_cumprod = alphas_cumprod[0] — the
+        fork's scheduler config has set_alpha_to_one=false
+        (scheduling_ddim.py:227), so the LAST step of every edit keeps a
+        ~sqrt(1-a0)·eps term rather than returning x0 exactly."""
         a_t = self.alphas_cumprod[t]
         t_prev = t - self.step_ratio
         a_prev = jnp.where(t_prev >= 0, self.alphas_cumprod[
-            jnp.maximum(t_prev, 0)], 1.0)
+            jnp.maximum(t_prev, 0)], self.alphas_cumprod[0])
         x0_pred = (latents - jnp.sqrt(1.0 - a_t) * noise_pred) \
             / jnp.sqrt(a_t)
         return jnp.sqrt(a_prev) * x0_pred \
@@ -150,8 +155,13 @@ def noise_calibration(latents_0: jnp.ndarray, x_r: jnp.ndarray,
     sqrt_a = jnp.sqrt(a_t)
     sqrt_1ma = jnp.sqrt(1.0 - a_t)
     for _ in range(steps):
+        # the reference's ACTIVE line feeds the clean latents to the
+        # UNet each iteration (ip2p.py:289: cat([latents_0]*3); the
+        # noised apply_model form is commented out there) — so e_theta
+        # is fixed across iterations and x0_t is derived from the
+        # noised sample built from the CURRENT e_t
         x = schedule.add_noise(latents_0, e_t, t0)
-        e_theta = predict_eps(x, t0)
+        e_theta = predict_eps(latents_0, t0)
         x0_t = (x - sqrt_1ma * e_theta) / sqrt_a
         e_t = e_theta + sqrt_a / sqrt_1ma * (
             fft_band(x0_t, scale, is_low) - fft_band(x_r, scale, is_low))

@@ -28,16 +28,6 @@ def focus_point_fn(poses: np.ndarray) -> np.ndarray:
     return focus_pt
 
 
-def average_pose(poses: np.ndarray) -> np.ndarray:
-    position = poses[:, :3, 3].mean(0)
-    z_axis = normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    x_axis = normalize(np.cross(up, z_axis))
-    y_axis = normalize(np.cross(z_axis, x_axis))
-    m = np.stack([x_axis, y_axis, z_axis, position], axis=1)
-    return m
-
-
 def transform_poses_pca(poses: np.ndarray):
     """Recenter and rotate poses so the principal axes align with the
     world axes (reference :76-107). Returns (poses_recentered, transform)."""
@@ -89,10 +79,11 @@ def generate_ellipse_path(poses: np.ndarray, n_frames: int = 120,
         return np.stack([
             low[0] + (high - low)[0] * (np.cos(theta) * 0.5 + 0.5),
             low[1] + (high - low)[1] * (np.sin(theta) * 0.5 + 0.5),
+            # reference: path height sits at z=0 (zero-mean capture
+            # pattern after PCA recentering) — no focus-height offset
             z_variation * (z_low[2] + (z_high - z_low)[2]
                            * (np.cos(theta + 2 * np.pi * z_phase)
-                              * 0.5 + 0.5)) + (1 - z_variation)
-            * center[2],
+                              * 0.5 + 0.5)),
         ], -1)
 
     theta = np.linspace(0, 2.0 * np.pi, n_frames + 1, endpoint=True)
@@ -127,13 +118,15 @@ def generate_path(viewpoint_cameras, n_frames: int = 480) -> List:
         @ pad_poses(new_poses))
 
     ref = viewpoint_cameras[0].camera
+    # even dims like the reference (int(w/2)*2): odd-dimension frames
+    # break 4:2:0 video encoders downstream
+    vw, vh = (ref.width // 2) * 2, (ref.height // 2) * 2
     out = []
     for pose in new_poses:
         c2w = pad_poses(pose @ np.diag([1, -1, -1, 1]))
         w2c = np.linalg.inv(c2w)
         out.append(make_camera(
-            w2c[:3, :3].T, w2c[:3, 3], ref.fovx, ref.fovy,
-            ref.width, ref.height))
+            w2c[:3, :3].T, w2c[:3, 3], ref.fovx, ref.fovy, vw, vh))
     return out
 
 
@@ -144,6 +137,9 @@ def create_video(frames: List[np.ndarray], path: str, fps: int = 30):
         return
     h, w = frames[0].shape[:2]
     vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not vw.isOpened():
+        raise RuntimeError(
+            f"cv2.VideoWriter could not open {path} (mp4v codec missing?)")
     for f in frames:
         img = (np.clip(f, 0, 1) * 255).astype(np.uint8)
         vw.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))

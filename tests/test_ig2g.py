@@ -37,7 +37,11 @@ def test_normalize_latent_noise():
 
 
 def test_ddim_roundtrip_with_perfect_eps():
-    """With the exact ε-predictor, DDIM recovers x0 from any start."""
+    """With the exact ε-predictor, DDIM walks back to the t=alpha[0]
+    marginal — NOT to x0 exactly: the fork's scheduler config has
+    set_alpha_to_one=false (final_alpha_cumprod = alphas_cumprod[0]), so
+    the last step keeps a sqrt(1-a0)·ε term. DDIM with exact ε preserves
+    the noise direction, so the expected endpoint is closed-form."""
     sched = DDIMSchedule()
     sched.set_timesteps(20, effective_train_timesteps=900)
     rng = np.random.default_rng(0)
@@ -49,8 +53,12 @@ def test_ddim_roundtrip_with_perfect_eps():
         a = sched.alphas_cumprod[int(t)]
         eps = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
         x = sched.step(eps, int(t), x)
-    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=1e-3,
-                               atol=1e-4)
+    a0 = sched.alphas_cumprod[0]
+    expected = jnp.sqrt(a0) * x0 + jnp.sqrt(1.0 - a0) * noise
+    np.testing.assert_allclose(np.asarray(x), np.asarray(expected),
+                               rtol=1e-3, atol=1e-4)
+    # and the endpoint is within the final-alpha band of x0
+    assert float(jnp.max(jnp.abs(x - x0))) < 0.2
 
 
 def test_cfg_combiners():
