@@ -24,7 +24,7 @@ from .gaussians import GaussianParams, GaussianState
 
 
 def save_ply(state: GaussianState, path: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     act = np.asarray(state.active)
     p = jax.tree_util.tree_map(lambda x: np.asarray(x)[act], state.params)
     n = p.xyz.shape[0]
@@ -51,7 +51,14 @@ def load_ply(path: str, capacity: int | None = None,
     cols = read_ply(path)
     n = len(cols["x"])
     cap = capacity or n
-    assert cap >= n
+    if cap < n:
+        # a densified model routinely exceeds the caller's default
+        # capacity bucket — grow to the next power-of-two bucket that
+        # fits (the reference's load_ply has no capacity notion at all;
+        # crashing the render/eval of a trained model is never right)
+        cap = 1
+        while cap < n:
+            cap <<= 1
     K = (max_sh_degree + 1) ** 2
 
     def grab(prefix, count):
@@ -117,9 +124,18 @@ def save_checkpoint_orbax(path: str, state: GaussianState, opt: AdamState,
     with ocp.StandardCheckpointer() as ckptr:
         # force=True: re-hitting a checkpoint iteration (resume crossing
         # its own save point) must overwrite like the npz path does
+        # shallow field dicts: dataclasses.asdict DEEPCOPIES every
+        # jax.Array, transiently doubling params+moments on device —
+        # on the HBM-constrained pod path this function exists for
+        def shallow(obj):
+            if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+                return {f.name: shallow(getattr(obj, f.name))
+                        for f in dataclasses.fields(obj)}
+            return obj
+
         ckptr.save(os.path.abspath(path), {
-            "state": dataclasses.asdict(state),
-            "opt": dataclasses.asdict(opt),
+            "state": shallow(state),
+            "opt": shallow(opt),
             "iteration": iteration,
             "spatial_lr_scale": spatial_lr_scale,
         }, force=True)

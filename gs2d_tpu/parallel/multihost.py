@@ -91,10 +91,15 @@ def local_row_range(mesh, height: int, axis: str = "data"):
     n = mesh.shape[axis]
     assert height % n == 0, f"height {height} not divisible by mesh {n}"
     band = height // n
-    devs = list(mesh.devices.reshape(-1))
-    mine = [i for i, d in enumerate(devs)
-            if d.process_index == jax.process_index()]
-    return min(mine) * band, (max(mine) + 1) * band
+    # the row band is indexed by the device's coordinate ALONG the data
+    # axis — on a 2-D (gauss, data) mesh the flattened device index runs
+    # past n and would address rows beyond the image
+    ax = mesh.axis_names.index(axis)
+    devs = mesh.devices
+    coords = [idx[ax] for idx, d in np.ndenumerate(devs)
+              if d.process_index == jax.process_index()]
+    assert coords, "this process owns no devices of the mesh"
+    return min(coords) * band, (max(coords) + 1) * band
 
 
 def global_gt_from_local_rows(local_band: np.ndarray, mesh, height: int,

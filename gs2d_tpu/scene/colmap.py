@@ -168,8 +168,13 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     out = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
+        # keep EMPTY lines: COLMAP always writes the POINTS2D line, and
+        # it is blank for an image with zero observations — dropping it
+        # shifts the 2-lines-per-image pairing and corrupts every pose
+        # after it
+        lines = [ln.strip() for ln in f if not ln.startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
     for i in range(0, len(lines), 2):
         parts = lines[i].split()
         img_id = int(parts[0])

@@ -45,7 +45,14 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
         elif t[0] == "property" and in_vertex:
             props.append((t[2], _PLY_DTYPES[t[1]]))
     if fmt == "ascii":
-        body = data[end:].decode("ascii").split()
+        # slice exactly the vertex element's tokens — the body may hold
+        # further elements (faces) whose rows are NOT vertex columns
+        need = count * len(props)
+        body = data[end:].decode("ascii").split()[:need]
+        if len(body) < need:
+            raise ValueError(
+                f"ascii PLY vertex element truncated: {len(body)} tokens "
+                f"for {count}x{len(props)}")
         arr = np.array(body, np.float64).reshape(count, len(props))
         return {name: arr[:, i].astype(np.dtype(dt).newbyteorder("="))
                 for i, (name, dt) in enumerate(props)}
@@ -152,9 +159,13 @@ def read_point_cloud(path: str):
     cols = read_ply(path)
     pts = np.stack([cols["x"], cols["y"], cols["z"]], -1).astype(np.float32)
     if "red" in cols:
+        int_typed = np.issubdtype(cols["red"].dtype, np.integer)
         rgb = np.stack([cols["red"], cols["green"], cols["blue"]],
                        -1).astype(np.float32)
-        if rgb.max() > 1.001:
+        # scale by STORED dtype, not a value heuristic (an all-dark
+        # uint8 cloud would otherwise skip the /255 and load 1/255 as
+        # full intensity; empty clouds made .max() raise)
+        if int_typed:
             rgb = rgb / 255.0
     else:
         rgb = np.full_like(pts, 0.5)

@@ -113,3 +113,36 @@ def test_model_ply_and_checkpoint_roundtrip(tmp_path):
     assert it == 123 and sc == 2.5
     np.testing.assert_allclose(np.asarray(s3.params.rotation),
                                np.asarray(state.params.rotation))
+
+
+def test_images_text_zero_point_image(tmp_path):
+    """COLMAP always writes the POINTS2D line — blank for an image with
+    no observations; the pairing must survive it (a dropped blank line
+    shifts every subsequent pose)."""
+    from gs2d_tpu.scene.colmap import read_images_text
+    p = tmp_path / "images.txt"
+    p.write_text(
+        "# images\n"
+        "1 1 0 0 0 0.5 0.5 0.5 1 a.jpg\n"
+        "10.0 20.0 7 30.0 40.0 9\n"
+        "2 1 0 0 0 1.5 1.5 1.5 1 b.jpg\n"
+        "\n"                                   # zero observations
+        "3 1 0 0 0 2.5 2.5 2.5 1 c.jpg\n"
+        "50.0 60.0 11\n")
+    imgs = read_images_text(str(p))
+    assert sorted(imgs) == [1, 2, 3]
+    assert imgs[2].name == "b.jpg" and len(imgs[2].xys) == 0
+    assert imgs[3].name == "c.jpg" and imgs[3].tvec[0] == 2.5
+
+
+def test_load_ply_grows_past_small_capacity(tmp_path):
+    """A densified model routinely exceeds the caller's default capacity
+    bucket; load must grow, not assert (render.py of any trained scene)."""
+    state = init_from_pcd(np.random.default_rng(0).normal(
+        size=(60, 3)).astype(np.float32),
+        np.full((60, 3), 0.5, np.float32), 64, seed=0)
+    path = str(tmp_path / "pc.ply")
+    save_ply(state, path)
+    loaded = load_ply(path, capacity=16)      # deliberately too small
+    assert loaded.capacity >= 60
+    assert int(loaded.num_active()) == 60
