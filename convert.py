@@ -78,9 +78,17 @@ def main():
             os.makedirs(dst, exist_ok=True)
             for fn in os.listdir(os.path.join(src, "images")):
                 with Image.open(os.path.join(src, "images", fn)) as im:
-                    im.resize((im.width // factor,
-                               im.height // factor)).save(
-                        os.path.join(dst, fn))
+                    out = im.resize((im.width // factor,
+                                     im.height // factor))
+                    # high-quality JPEG re-encode: PIL's default q75
+                    # bakes compression artifacts into every downscaled
+                    # training image (magick mogrify re-encodes near the
+                    # input quality)
+                    if fn.lower().endswith((".jpg", ".jpeg")):
+                        out.save(os.path.join(dst, fn), quality=95,
+                                 subsampling=0)
+                    else:
+                        out.save(os.path.join(dst, fn))
     print("Done.")
 
 

@@ -43,6 +43,14 @@ class NetworkGUI:
             self.conn.settimeout(None)
             self._send_json(list(render_items))
         except Exception:
+            # close a half-accepted socket — dropping the reference
+            # without close leaks one fd per failed handshake (EMFILE
+            # under repeated probes on a long-running server)
+            if self.conn is not None:
+                try:
+                    self.conn.close()
+                except OSError:
+                    pass
             self.conn = None
 
     def _read_msg(self) -> dict:

@@ -24,22 +24,30 @@ from .dataset import (SceneInfo, detect_scene_type, load_image,
                       read_blender_scene, read_colmap_scene)
 
 
-def _camera_to_json(idx: int, cam: CameraData) -> dict:
+def _caminfo_to_json(idx: int, ci) -> dict:
+    """camera_to_JSON of a raw CameraInfo — ORIGINAL dims, reference
+    utils/camera_utils.py:64-84."""
     w2c = np.eye(4)
-    w2c[:3, :3] = cam.R.T
-    w2c[:3, 3] = cam.T
+    w2c[:3, :3] = ci.R.T
+    w2c[:3, 3] = ci.T
     c2w = np.linalg.inv(w2c)
     pos = c2w[:3, 3]
     rot = c2w[:3, :3]
     from ..ops.transforms import fov2focal
     return {
-        "id": idx, "img_name": cam.image_name,
-        "width": cam.camera.width, "height": cam.camera.height,
+        "id": idx, "img_name": ci.image_name,
+        "width": ci.width, "height": ci.height,
         "position": pos.tolist(),
         "rotation": [r.tolist() for r in rot],
-        "fy": fov2focal(cam.camera.fovy, cam.camera.height),
-        "fx": fov2focal(cam.camera.fovx, cam.camera.width),
+        "fy": fov2focal(ci.fovy, ci.height),
+        "fx": fov2focal(ci.fovx, ci.width),
     }
+
+
+def _shuffled(items, rng):
+    out = list(items)
+    rng.shuffle(out)
+    return out
 
 
 class Scene:
@@ -69,10 +77,27 @@ class Scene:
 
         if self.model_path and self.loaded_iter is None:
             os.makedirs(self.model_path, exist_ok=True)
-            cam_json = []
             with open(os.path.join(self.model_path, "input.ply"), "wb") as f:
                 with open(info.ply_path, "rb") as src:
                     f.write(src.read())
+            # cameras.json from the RAW CameraInfos — ORIGINAL dims
+            # (pre-resolution-policy) and the reference's test-then-train
+            # ordering (scene/__init__.py:50-63), before any shuffle
+            cam_json = [
+                _caminfo_to_json(i, ci) for i, ci in enumerate(
+                    list(info.test_cameras) + list(info.train_cameras))]
+            with open(os.path.join(self.model_path, "cameras.json"),
+                      "w") as f:
+                json.dump(cam_json, f)
+
+        # Multi-res consistent shuffling: shuffle the INFO lists ONCE
+        # before building any scale (the reference's comment verbatim) —
+        # per-scale shuffles with one advancing RNG would give each
+        # resolution a different permutation
+        if shuffle:
+            rng = random.Random(seed)
+            info.train_cameras[:] = _shuffled(info.train_cameras, rng)
+            info.test_cameras[:] = _shuffled(info.test_cameras, rng)
 
         self.train_cameras = {}
         self.test_cameras = {}
@@ -81,19 +106,6 @@ class Scene:
                 info.train_cameras, args, scale)
             self.test_cameras[scale] = self._load_cams(
                 info.test_cameras, args, scale)
-
-        if self.model_path and self.loaded_iter is None:
-            cam_json = [_camera_to_json(i, c) for i, c in enumerate(
-                self.train_cameras[1.0] + self.test_cameras[1.0])]
-            with open(os.path.join(self.model_path, "cameras.json"),
-                      "w") as f:
-                json.dump(cam_json, f)
-
-        if shuffle:
-            rng = random.Random(seed)
-            for scale in resolution_scales:
-                rng.shuffle(self.train_cameras[scale])
-                rng.shuffle(self.test_cameras[scale])
 
         if self.loaded_iter is not None:
             self.gaussians = load_ply(

@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--mesh_res", type=int, default=1024)
     ap.add_argument("--unbounded", action="store_true")
     ap.add_argument("--interpret", action="store_true")
-    args, _ = ap.parse_known_args()
+    args = ap.parse_args()
 
     from gs2d_tpu.config import load_cfg_args
     cfg_path = os.path.join(args.model_path, "cfg_args.json")

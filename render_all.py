@@ -22,13 +22,19 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     stamp = datetime.datetime.now().strftime("%y%m%d_%H%M")
+    failures = []
     for md in args.model_dirs:
         print(f"=== rendering {md} ===")
         cmd = [sys.executable, os.path.join(REPO, "render.py"), "-m", md]
         cmd += [a for a in args.passthrough if a != "--"]
         rc = subprocess.run(cmd).returncode
         if rc != 0:
-            print(f"render failed for {md} (rc={rc})")
+            # do NOT copy: whatever train/test/traj dirs exist are stale
+            # leftovers from a previous run — a results tree silently
+            # mixing old renders is worse than a missing entry
+            print(f"render failed for {md} (rc={rc}); skipping copy")
+            failures.append(md)
+            continue
         if args.out_root:
             dst = os.path.join(args.out_root, stamp,
                                os.path.basename(md.rstrip("/")))
@@ -37,3 +43,6 @@ if __name__ == "__main__":
                 s = os.path.join(md, sub)
                 if os.path.isdir(s):
                     subprocess.run(["cp", "-r", s, dst])
+    if failures:
+        print("failed models:", ", ".join(failures))
+        sys.exit(1)

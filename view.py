@@ -59,9 +59,12 @@ def main():
             scaling_modifier=scaling, depth_ratio=pipe.depth_ratio))
 
     num_active = int(state.num_active())
+    import time
     while True:
         if gui.conn is None:
             gui.try_connect(render_items)
+            if gui.conn is None:
+                time.sleep(0.05)   # non-blocking accept: don't busy-spin
             continue
         try:
             cam, _, keep_alive, scaling, mode = gui.receive()
