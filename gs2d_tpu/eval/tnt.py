@@ -197,7 +197,10 @@ def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
     computes voxel indices relative to min_bound, not the origin —
     binning at the absolute origin shifts which points merge and with
     them the ICP/F-score numbers this feeds)."""
-    origin = points.min(axis=0)
+    # Open3D anchors voxel bins at min_bound - voxel/2 before flooring
+    # (PointCloud::VoxelDownSample) — a plain min anchor merges different
+    # groups, shifting ICP and the P/R/F1 this module must reproduce
+    origin = points.min(axis=0) - voxel * 0.5
     keys = np.floor((points - origin) / voxel).astype(np.int64)
     _, inv, counts = np.unique(keys, axis=0, return_inverse=True,
                                return_counts=True)
@@ -358,14 +361,25 @@ def run_tnt_evaluation(ply_path: str, dataset_dir: str, traj_path: str,
     T0 = align_trajectories(est_traj, gt_traj, gt_trans, map_file=None)
 
     # three ICP refinement stages (run.py:155-160), each on crop+downsample
+    # the cropped GT never changes across stages — crop the (tens of
+    # millions of points) cloud once, not three times
+    gt_c = volume.crop(gt)
+    if len(gt_c) == 0:
+        raise ValueError(
+            "crop volume contains no GT points — check the crop json / "
+            "GT alignment")
+
     def stage(T, voxel, corr, uniform=False):
         s = rec @ T[:3, :3].T + T[:3, 3]
         s = volume.crop(s)
-        t = volume.crop(gt)
+        if len(s) == 0:
+            raise ValueError(
+                "aligned reconstruction has no points inside the crop "
+                "volume — the initial trajectory alignment likely failed")
         if uniform:
-            s, t = uniform_downsample(s), uniform_downsample(t)
+            s, t = uniform_downsample(s), uniform_downsample(gt_c)
         else:
-            s, t = voxel_downsample(s, voxel), voxel_downsample(t, voxel)
+            s, t = voxel_downsample(s, voxel), voxel_downsample(gt_c, voxel)
         return icp_similarity(s, t, corr, max_iter=20) @ T
 
     T = stage(T0, dtau, dtau * 80)

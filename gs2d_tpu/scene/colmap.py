@@ -107,7 +107,23 @@ def read_cameras_binary(path: str) -> Dict[int, ColmapCamera]:
     return out
 
 
-def read_images_binary(path: str) -> Dict[int, ColmapImage]:
+def read_images_binary(path: str,
+                       poses_only: bool = True) -> Dict[int, ColmapImage]:
+    """poses_only=True (default) may take the native fast path, which
+    returns EMPTY xys/point3d_ids — nothing in this framework (or the
+    reference's readers) consumes the per-image 2-D observations, and
+    multi-thousand-image models stall the pure-Python reader. Pass
+    poses_only=False when the observation tables matter."""
+    from ..native_lib import parse_images_bin_poses
+    fast = parse_images_bin_poses(path) if poses_only else None
+    if fast is not None:
+        img_ids, qvec, tvec, cam_ids, names = fast
+        empty_xy = np.zeros((0, 2))
+        empty_id = np.zeros((0,), np.int64)
+        return {int(img_ids[i]): ColmapImage(
+            int(img_ids[i]), qvec[i].copy(), tvec[i].copy(),
+            int(cam_ids[i]), names[i], empty_xy, empty_id)
+            for i in range(len(img_ids))}
     with open(path, "rb") as f:
         r = _Reader(f.read())
     (num,) = r.read("Q")

@@ -31,9 +31,9 @@ def measure_rtt(n: int = 3) -> float:
     _force(x)
     ts = []
     for _ in range(n):
-        t0 = time.time()
+        t0 = time.perf_counter()
         _force(x)
-        ts.append(time.time() - t0)
+        ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
 
@@ -48,9 +48,9 @@ def timed_loop(step: Callable, state, n: int = 10, warmup: int = 2):
         state = step(state)
     _force(state)
     rtt = measure_rtt()
-    t0 = time.time()
+    t0 = time.perf_counter()
     for _ in range(n):
         state = step(state)
     _force(state)
-    dt = time.time() - t0 - rtt
+    dt = time.perf_counter() - t0 - rtt
     return max(dt, 0.0) / n, state

@@ -115,7 +115,14 @@ void knn3_mean_sq_dist(const float* pts, int64_t n, float* out) {
                        y1 == gy - 1 && z1 == gz - 1))
         break;  // searched everything
     }
-    out[i] = (best[0] + best[1] + best[2]) / 3.0f;
+    // average only the FILLED neighbor slots: with n == 2 or 3 the
+    // 1e30 sentinels would otherwise poison the mean (log-scale init
+    // then explodes to exp(34)-unit splats)
+    float sum = 0.0f;
+    int filled = 0;
+    for (int b = 0; b < 3; ++b)
+      if (best[b] < 9e29f) { sum += best[b]; ++filled; }
+    out[i] = filled ? sum / (float)filled : 1e-8f;
   }
 }
 
@@ -183,7 +190,9 @@ int64_t parse_images_bin_poses(const char* path, double* qvec, double* tvec,
     while ((ch = fgetc(f)) != EOF && ch != 0) {
       if (name_off < names_cap - 1) names[name_off++] = (char)ch;
     }
-    names[name_off++] = 0;
+    // bounds-checked terminator: once names fills up, further images
+    // must not write past the caller's buffer
+    if (name_off < names_cap) names[name_off++] = 0;
     uint64_t npts = read_u64(f);
     if (fseek(f, (long)(npts * 24), SEEK_CUR) != 0) { fclose(f); return -1; }
   }

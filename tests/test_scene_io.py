@@ -49,12 +49,18 @@ def test_colmap_binary_roundtrip(tmp_path):
     write_points3d_binary(xyz, rgb, str(tmp_path / "points3D.bin"))
 
     c2 = read_cameras_binary(str(tmp_path / "cameras.bin"))
-    i2 = read_images_binary(str(tmp_path / "images.bin"))
+    # full-fidelity python path keeps the observation tables…
+    i2 = read_images_binary(str(tmp_path / "images.bin"), poses_only=False)
     x2, r2, _ = read_points3d_binary(str(tmp_path / "points3D.bin"))
     assert c2[1].model == "PINHOLE" and c2[1].width == 640
     np.testing.assert_allclose(i2[1].tvec, [0, 0, 2])
     assert i2[1].name == "im0.png"
     np.testing.assert_array_equal(i2[1].point3d_ids, np.arange(5))
+    # …and the default (native-fast when available) path agrees on poses
+    i3 = read_images_binary(str(tmp_path / "images.bin"))
+    np.testing.assert_allclose(i3[1].qvec, i2[1].qvec)
+    np.testing.assert_allclose(i3[1].tvec, i2[1].tvec)
+    assert i3[1].name == "im0.png" and i3[1].camera_id == 1
     np.testing.assert_allclose(x2, xyz)
     np.testing.assert_array_equal(r2, rgb)
     np.testing.assert_allclose(qvec2rotmat(i2[1].qvec), np.eye(3),

@@ -99,8 +99,18 @@ def main():
 
     import uuid
     if not args.model_path:
-        args.model_path = os.path.join("./output", str(uuid.uuid4())[:10])
-    os.makedirs(args.model_path, exist_ok=True)
+        if args.multihost:
+            # every process must agree on the directory — derive it
+            # deterministically from the scene + seed instead of a
+            # per-process random uuid
+            tag = uuid.uuid5(uuid.NAMESPACE_URL,
+                             f"{args.source_path}|{args.seed}")
+            args.model_path = os.path.join("./output", str(tag)[:10])
+        else:
+            args.model_path = os.path.join("./output",
+                                           str(uuid.uuid4())[:10])
+    if main_proc:
+        os.makedirs(args.model_path, exist_ok=True)
 
     if args.detect_anomaly:
         import jax
@@ -126,8 +136,9 @@ def main():
                        pairs_capacity=args.pairs_capacity,
                        seed=args.seed, interpret=args.interpret,
                        devices=args.data_devices)
-    save_cfg_args(os.path.join(args.model_path, "cfg_args.json"),
-                  model, pipe, opt)
+    if main_proc:        # proc-0-only IO: no concurrent rewrites
+        save_cfg_args(os.path.join(args.model_path, "cfg_args.json"),
+                      model, pipe, opt)
     args.save_iterations.append(opt.iterations)
 
     mesh = None
@@ -156,6 +167,7 @@ def main():
 
     bar = tqdm(total=opt.iterations, desc="Training", disable=not main_proc)
     last = [0]
+    last_elapsed = [0.0]
     run_log_f = (open(args.run_log, "a", buffering=1)
                  if args.run_log and main_proc else None)
 
@@ -182,7 +194,15 @@ def main():
             tb_writer.add_scalar("train_loss_patches/normal_loss",
                                  info["normal"], iteration)
             tb_writer.add_scalar("total_points", info["points"], iteration)
-            tb_writer.add_scalar("iter_time", info["elapsed_s"], iteration)
+            # per-iteration seconds over the logging window (the raw
+            # elapsed_s is cumulative; the reference's iter_time chart
+            # is per-iteration)
+            d_it = max(iteration - last[0], 1) if iteration > last[0] \
+                else 10
+            tb_writer.add_scalar(
+                "iter_time",
+                (info["elapsed_s"] - last_elapsed[0]) / d_it, iteration)
+            last_elapsed[0] = info["elapsed_s"]
 
     import functools
 
