@@ -189,6 +189,15 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
         (geom, a_eff, t_mult, cross, T_before, w, live, zs, m) = \
             _recompute_chunk(e, px, py, ci, chunk, count, state)
 
+        # Sanitize geometry BEFORE it enters gradient products: a kept
+        # entry with non-finite A/B/C (binning deliberately keeps pairs
+        # whose cull coefficients are non-finite) composites as zero in
+        # the forward, but 0.0 * NaN = NaN would poison its Gaussian's
+        # gradient here and Adam would write NaN params permanently.
+        u_s = jnp.where(live, geom.u, 0.0)
+        v_s = jnp.where(live, geom.v, 0.0)
+        rp2_s = jnp.where(live, geom.rp2, 0.0)
+
         dw, dm = _dw_terms(e, g, w, live, zs, m, S0, M1_tot, M2_tot)
 
         # suffix Σ_{j>e} w_j·dw_j = grand total − inclusive prefix
@@ -218,15 +227,12 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
         use3d = geom.rho3d <= geom.rho2d
         drho3d = jnp.where(use3d, drho, 0.0)
 
-        du = drho3d * 2.0 * geom.u + dz * e[:, 9:10]
-        dv = drho3d * 2.0 * geom.v + dz * e[:, 10:11]
-        dp0 = du * geom.rp2
-        dp1 = dv * geom.rp2
-        dp2 = -(du * geom.u + dv * geom.v) * geom.rp2
+        du = drho3d * 2.0 * u_s + dz * e[:, 9:10]
+        dv = drho3d * 2.0 * v_s + dz * e[:, 10:11]
+        dp0 = du * rp2_s
+        dp1 = dv * rp2_s
+        dp2 = -(du * u_s + dv * v_s) * rp2_s
 
-        # reductions over pixels → per-entry gradients, all on the MXU
-        # (lane reductions would be VPU shuffle chains; matmuls overlap
-        # with the elementwise pipeline instead)
         # reductions over pixels → per-entry gradients (chunk, 1).
         # Measured: doing these as MXU matmuls at f32-exact precision is
         # SLOWER (the operand decomposition costs more than the VPU lane
@@ -239,7 +245,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
             red(dp0), red(dp1), red(dp2),                    # dA
             red(dp0 * px), red(dp1 * px), red(dp2 * px),     # dB
             red(dp0 * py), red(dp1 * py), red(dp2 * py),     # dC
-            red(dz * geom.u), red(dz * geom.v), red(dz),     # dc2
+            red(dz * u_s), red(dz * v_s), red(dz),           # dc2
             zero, zero,                                      # dcenter xy
             red(dopa),                                       # dopacity
             red(w * g[0:1]), red(w * g[1:2]), red(w * g[2:3]),   # drgb

@@ -11,6 +11,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
 
 from .common import (ALPHA_CLAMP, ALPHA_CUTOFF, FAR_N, FILTER_INV_SQUARE,
                      NEAR_N)
@@ -75,8 +76,6 @@ def prefix_scan_incl(x: jnp.ndarray) -> jnp.ndarray:
     (~800 MFLOP per 128-chunk — it dominated the whole kernel), while the
     shift-scan is ~1 MFLOP per chunk AND exact f32.
     """
-    from jax.experimental.pallas import tpu as pltpu
-
     n = x.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     d = 1
@@ -99,8 +98,6 @@ def prefix_prod_incl(q: jnp.ndarray) -> jnp.ndarray:
     non-increasing; underflow to 0 only happens far past the 1e-4
     early-termination threshold, where the lanes are already frozen.
     """
-    from jax.experimental.pallas import tpu as pltpu
-
     n = q.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
     d = 1
@@ -115,8 +112,6 @@ def prefix_prod_excl_from_incl(p_incl: jnp.ndarray) -> jnp.ndarray:
     """Exclusive product from the inclusive one: shift down one row,
     seed row 0 with the multiplicative identity (no division — q may
     carry masked-identity 1.0 rows and near-zero alphas)."""
-    from jax.experimental.pallas import tpu as pltpu
-
     row = jax.lax.broadcasted_iota(jnp.int32, p_incl.shape, 0)
     return jnp.where(row == 0, 1.0, pltpu.roll(p_incl, shift=1, axis=0))
 

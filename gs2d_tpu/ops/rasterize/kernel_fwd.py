@@ -196,7 +196,7 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
 def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
                          tile_count: jnp.ndarray, *, width: int, height: int,
                          chunk: int = 128,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False):
     """entries (P_alloc, ENTRY_F) f32 rows → (out, med_idx):
     out (T, NUM_OUT, TILE_PX) f32; med_idx (T, 1, TILE_PX) f32 carries the
     per-pixel median contributor's tile-local slot (backward-only aux)."""
