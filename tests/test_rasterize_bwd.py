@@ -69,3 +69,37 @@ def test_screen_offset_grad_nonzero():
                           pairs_capacity=1 << 13, chunk=16, interpret=True)
     g = jax.grad(_loss_fn(cam, cfg, cot), argnums=6)(*args)
     assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_nonfinite_entry_does_not_poison_grads():
+    """A Gaussian whose homography coefficients go non-finite (binning
+    deliberately keeps such pairs) must composite as zero AND contribute
+    zero — not NaN — gradients: 0*NaN in the backward's geometry chain
+    previously poisoned the whole parameter row via the segment sum."""
+    import dataclasses
+
+    from gs2d_tpu.ops.rasterize.preprocess import preprocess as _pre
+
+    cam = lookat_camera(width=64, height=32)
+    means, scales, quats, opac, rgb, noise = random_cloud(30, 4)
+    args = tuple(jnp.asarray(x) for x in
+                 (means, scales, quats, opac, rgb, noise)) + (
+                     jnp.zeros((30, 2), jnp.float32),)
+    cot = jnp.ones((15, cam.height, cam.width), jnp.float32)
+    cfg = RasterizeConfig(width=cam.width, height=cam.height,
+                          pairs_capacity=1 << 12, chunk=16, interpret=True)
+
+    def loss(means, scales, quats, opac, rgb, noise, offsets):
+        pre = preprocess(means, scales, quats, opac, cam.world_view,
+                         cam.full_proj, cam.campos, cam.width, cam.height,
+                         colors=rgb, noise=noise, screen_offsets=offsets)
+        # poison one visible Gaussian's A coefficients with inf AFTER
+        # preprocess, exactly as a diverged parameter would surface
+        bad = jnp.zeros((30, 3), jnp.float32).at[3].set(jnp.inf)
+        pre = pre._replace(A=pre.A + jax.lax.stop_gradient(bad))
+        out, _ = rasterize(pre, cfg)
+        return jnp.sum(out * cot)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    for gi in g:
+        assert bool(jnp.isfinite(gi).all()), "NaN/Inf leaked into grads"
