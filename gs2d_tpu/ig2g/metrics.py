@@ -69,6 +69,13 @@ class ClipMetrics:
             return self.large.get_text_features(**x)
 
         with torch.no_grad():
-            di = embed_img(img_edit) - embed_img(img_orig)
-            dt = embed_txt(cap_edit) - embed_txt(cap_orig)
+            # the reference UNIT-NORMALIZES each embedding before
+            # differencing (diffusion/metrics.py encode_image/encode_text
+            # divide by norm) — raw-embedding differences give a
+            # materially different cosine
+            def unit(e):
+                return e / e.norm(dim=-1, keepdim=True)
+
+            di = unit(embed_img(img_edit)) - unit(embed_img(img_orig))
+            dt = unit(embed_txt(cap_edit)) - unit(embed_txt(cap_orig))
         return float(F.cosine_similarity(di, dt)[0])

@@ -47,7 +47,12 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
                                               shard_capacity_tree)
 
     @jax.jit
-    def train_step(ts: TrainState, camera, gt_image, iteration, bg):
+    def train_step(ts: TrainState, camera, gt_image, iteration, bg,
+                   lr_iteration=None):
+        # lr_iteration: separate clock for the xyz LR schedule — the
+        # IG2G fork RESTARTS it at ip2p_start_iter (reference
+        # train_ig2g.py:205-206) while every other schedule (SH ramp,
+        # loss warmups) keeps the raw iteration
         gs = ts.gaussians
         cap = gs.capacity
         check_capacity(cap, mesh)   # even gauss-axis shards (trace-time)
@@ -96,7 +101,7 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
         gparams = shard_capacity_tree(gparams, mesh)
 
         xyz_lr = expon_lr(
-            iteration,
+            iteration if lr_iteration is None else lr_iteration,
             opt_cfg.position_lr_init * spatial_lr_scale,
             opt_cfg.position_lr_final * spatial_lr_scale,
             lr_delay_mult=opt_cfg.position_lr_delay_mult,

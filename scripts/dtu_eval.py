@@ -42,7 +42,7 @@ if __name__ == "__main__":
                             "--lambda_dist", "1000"], check=True)
         if not args.skip_rendering:
             subprocess.run([sys.executable, os.path.join(REPO, "render.py"),
-                            "-m", out, "--num_cluster", "1",
+                            "-m", out, "--skip_train", "--num_cluster", "1",
                             "--voxel_size", "0.004", "--sdf_trunc", "0.016",
                             "--depth_trunc", "3.0", "--skip_test"],
                            check=True)

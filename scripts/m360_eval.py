@@ -37,7 +37,7 @@ if __name__ == "__main__":
                            check=True)
         if not args.skip_rendering:
             subprocess.run([sys.executable, os.path.join(REPO, "render.py"),
-                            "-m", out, "--skip_mesh"], check=True)
+                            "-m", out, "--skip_train", "--skip_mesh"], check=True)
     if not args.skip_metrics:
         subprocess.run([sys.executable, os.path.join(REPO, "metrics.py"),
                         "-m"] + out_paths, check=True)

@@ -27,6 +27,7 @@ if __name__ == "__main__":
         d for d in os.listdir(args.data_root)
         if os.path.isdir(os.path.join(args.data_root, d)))
     i, n = (int(x) for x in args.shard.split("/"))
+    failures = []
     for k, scene in enumerate(scenes):
         if k % n != i:
             continue
@@ -38,3 +39,7 @@ if __name__ == "__main__":
         rc = subprocess.run(cmd).returncode
         if rc != 0:
             print(f"{scene} failed rc={rc}")
+            failures.append(scene)
+    if failures:
+        print("failed scenes:", ", ".join(failures))
+        sys.exit(1)

@@ -18,10 +18,6 @@ sys.path.insert(0, REPO)
 SCENES_360 = ["Barn", "Caterpillar", "Ignatius", "Truck"]
 SCENES_LARGE = ["Meetingroom", "Courthouse"]
 # official distance thresholds (m)
-TAU = {"Barn": 0.01, "Caterpillar": 0.005, "Ignatius": 0.003,
-       "Truck": 0.005, "Meetingroom": 0.01, "Courthouse": 0.025}
-
-
 def export_trajectory(src: str, out_log: str) -> None:
     """Write the scene's estimated camera trajectory (COLMAP poses,
     name-sorted, camera-to-world) in TnT .log format — the input the
@@ -67,11 +63,14 @@ if __name__ == "__main__":
                             "--depth_ratio", "1.0", "--lambda_dist", lam],
                            check=True)
         if not args.skip_rendering:
+            # reference per-class BOUNDED TSDF params (tnt_eval.py:40-46
+            # — large scenes get a coarser/deeper volume, NOT the
+            # unbounded contraction path)
             mesh_flags = (["--num_cluster", "1", "--voxel_size", "0.004",
                            "--sdf_trunc", "0.016", "--depth_trunc", "3.0"]
                           if scene in SCENES_360 else
-                          ["--num_cluster", "1", "--mesh_res", "1024",
-                           "--unbounded"])
+                          ["--num_cluster", "1", "--voxel_size", "0.006",
+                           "--sdf_trunc", "0.024", "--depth_trunc", "4.5"])
             subprocess.run([sys.executable, os.path.join(REPO, "render.py"),
                             "-m", out, "--skip_test"] + mesh_flags,
                            check=True)

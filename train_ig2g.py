@@ -94,7 +94,15 @@ def main():
                         resolution=args.resolution,
                         white_background=args.white_background,
                         eval=args.eval)
-    opt = OptimizationParams(iterations=args.iterations)
+    opt = OptimizationParams(**{
+        f: getattr(args, f) for f in (
+            "iterations", "position_lr_init", "position_lr_final",
+            "position_lr_delay_mult", "position_lr_max_steps", "feature_lr",
+            "opacity_lr", "scaling_lr", "rotation_lr", "percent_dense",
+            "lambda_dssim", "lambda_dist", "lambda_normal", "opacity_cull",
+            "densification_interval", "opacity_reset_interval",
+            "densify_from_iter", "densify_until_iter",
+            "densify_grad_threshold")})
     pipe = PipelineParams(depth_ratio=args.depth_ratio)
     rt = RuntimeParams(initial_capacity=args.initial_capacity,
                        pairs_capacity=args.pairs_capacity, seed=args.seed,
@@ -168,7 +176,7 @@ def main():
 
         # periodic dataset edit (reference :232-304)
         if (iteration > args.ip2p_start_iter
-                and iteration % edit_every == 1
+                and (edit_every == 1 or iteration % edit_every == 1)
                 and ip2p_iteration < args.ip2p_iter * len(cams)):
             noise_key, sub = jax.random.split(noise_key)
             gnoise = jax.random.normal(
@@ -198,8 +206,13 @@ def main():
                     os.path.join(d, f"{iteration}_{cam_data.image_name}.png"))
 
         gt = jnp.asarray(cam_data.edited_image)      # edited GT (:309)
+        # xyz LR schedule RESTARTS at the edit-phase start (reference
+        # train_ig2g.py:205-206: update_learning_rate(it - start))
+        lr_it = (iteration - args.ip2p_start_iter
+                 if iteration > args.ip2p_start_iter else iteration)
         ts, metrics = step_fn(ts, cam_data.camera, gt,
-                              jnp.int32(iteration), bg)
+                              jnp.int32(iteration), bg,
+                              lr_iteration=jnp.int32(lr_it))
 
         if iteration < opt.densify_until_iter:
             if (iteration > opt.densify_from_iter
@@ -214,7 +227,9 @@ def main():
                     jnp.float32(scene.cameras_extent),
                     jnp.float32(size_thr), jnp.float32(opt.percent_dense))
                 ts = TrainState(gaussians=gs_new, opt=opt_new, key=key)
-            if iteration % opt.opacity_reset_interval == 0:
+            if (iteration % opt.opacity_reset_interval == 0
+                    or (model.white_background
+                        and iteration == opt.densify_from_iter)):
                 gs_new, opt_new = reset_opacity(ts.gaussians, ts.opt)
                 ts = TrainState(gaussians=gs_new, opt=opt_new, key=ts.key)
 
