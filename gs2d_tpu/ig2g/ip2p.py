@@ -41,15 +41,15 @@ IMG_DIM = 512
 @dataclasses.dataclass
 class IP2PParams:
     """Fork knobs (arguments/__init__.py:96-131 subset)."""
-    guidance_scale: float = 7.5
+    guidance_scale: float = 12.5
     image_guidance_scale: float = 1.5
     diffusion_steps: int = 20
     lower_bound: float = 0.70
     upper_bound: float = 0.98
     noise_type: str = "None"
-    noise_reg: str = "None"
+    noise_reg: str = "outlier"
     freeu_mode: str = "None"      # None|intermediate|intermediate-reverse|cfg|cfg-simple
-    lambda_intermediate: float = 0.5
+    lambda_intermediate: float = 1.0
     # FreeU backbone/skip scaling (reference ip2p.py:165-168)
     is_freeu: bool = False
     freeu_s1: float = 0.9
@@ -60,8 +60,8 @@ class IP2PParams:
     noise_guidance_scale2: float = 0.0
     is_noise_calibration: bool = False
     noise_calibration_steps: int = 3
-    noise_calibration_scale: float = 0.5
-    noise_calibration_scale_is_low: bool = True
+    noise_calibration_scale: float = 1.0
+    noise_calibration_scale_is_low: bool = False
 
 
 class StubBackend:

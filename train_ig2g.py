@@ -32,16 +32,16 @@ def main():
     ap.add_argument("--text_prompt", type=str, default="")
     ap.add_argument("--ip2p_start_iter", type=int, default=20000)
     ap.add_argument("--ip2p_cycle_iter", type=int, default=2500)
-    ap.add_argument("--ip2p_iter", type=int, default=10)
-    ap.add_argument("--guidance_scale", type=float, default=7.5)
+    ap.add_argument("--ip2p_iter", type=int, default=3)
+    ap.add_argument("--guidance_scale", type=float, default=12.5)
     ap.add_argument("--image_guidance_scale", type=float, default=1.5)
     ap.add_argument("--diffusion_steps", type=int, default=20)
     ap.add_argument("--lower_bound", type=float, default=0.7)
     ap.add_argument("--upper_bound", type=float, default=0.98)
     ap.add_argument("--noise_type", type=str, default="None")
-    ap.add_argument("--noise_reg", type=str, default="None")
+    ap.add_argument("--noise_reg", type=str, default="outlier")
     ap.add_argument("--freeu_mode", type=str, default="None")
-    ap.add_argument("--lambda_intermediate", type=float, default=0.5)
+    ap.add_argument("--lambda_intermediate", type=float, default=1.0)
     # FreeU scaling (reference train_ig2g enables pipe.enable_freeu with
     # these four knobs, arguments/__init__.py fork block)
     ap.add_argument("--is_freeu", action="store_true")
