@@ -1,82 +1,183 @@
 """Benchmark: rasterizer forward+backward rays/s per chip at 1080p.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Headline operating point (VERDICT r2 item 2): a *trained-scene-like* 1M-splat
+scene (gs2d_tpu/utils/bench_scenes.make_trained_like_scene — surfels on
+surfaces, log-normal scales, multi-million tile pairs), not the 100k uniform
+scene whose pair count is ~20x below trained reality. The 100k point is kept
+as a secondary field when time allows.
+
+Robustness contract: this script must emit parseable JSON and exit 0 no
+matter what the backend does — the axon TPU tunnel is known to hang (not
+raise) at import when down, so backend liveness is probed in a bounded
+subprocess BEFORE importing jax here, and the measurement itself runs under
+a hard SIGALRM deadline. On failure the line carries "value": null and an
+"error" field instead of a stack trace.
+
 The reference repo publishes no throughput baseline (BASELINE.md) —
-vs_baseline is reported against the first recorded value of this bench
-when available via BENCH_BASELINE env, else null.
+vs_baseline is against BENCH_BASELINE env when set, else null.
 """
 
 import json
+import math
 import os
+import signal
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from gs2d_tpu.ops.rasterize.api import (RasterizeConfig, rasterize,
-                                        suggest_pairs_capacity)
-from gs2d_tpu.ops.rasterize.preprocess import preprocess
-from gs2d_tpu.scene.cameras import make_camera
+METRIC = "rays_per_s_per_chip_fwd_bwd_1080p"
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+PROBE_RETRIES = int(os.environ.get("BENCH_PROBE_RETRIES", "2"))
+DEADLINE_S = int(os.environ.get("BENCH_DEADLINE", "3000"))
 
 
-def build_scene(n=100_000, seed=0):
-    rng = np.random.default_rng(seed)
-    means = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
-    scales = rng.uniform(0.004, 0.02, (n, 2)).astype(np.float32)
-    quats = rng.normal(size=(n, 4)).astype(np.float32)
-    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
-    rgb = rng.random((n, 3)).astype(np.float32)
-    return tuple(jnp.asarray(x) for x in (means, scales, quats, opac, rgb))
+def emit(value, extra=None, error=None):
+    base = os.environ.get("BENCH_BASELINE")
+    vs = (value / float(base)) if (value is not None and base) else None
+    rec = {"metric": METRIC, "value": value, "unit": "rays/s",
+           "vs_baseline": vs}
+    if error:
+        rec["error"] = error
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
 
 
-def main():
-    W, H = 1920, 1080
-    import math
+def probe_backend():
+    """Check jax backend liveness in a killable subprocess.
+
+    Returns (platform, n_devices) or (None, 0). A dead axon tunnel makes
+    `import jax` hang in-process — only a subprocess with a timeout is safe.
+    """
+    code = ("import jax, json; d = jax.devices(); "
+            "print(json.dumps({'p': d[0].platform, 'n': len(d)}))")
+    for attempt in range(PROBE_RETRIES + 1):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=PROBE_TIMEOUT_S)
+            if r.returncode == 0 and r.stdout.strip():
+                info = json.loads(r.stdout.strip().splitlines()[-1])
+                return info["p"], info["n"]
+        except (subprocess.TimeoutExpired, json.JSONDecodeError, OSError):
+            pass
+        if attempt < PROBE_RETRIES:
+            time.sleep(10)
+    return None, 0
+
+
+class _Deadline(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _Deadline()
+
+
+def measure(scene, width, height, n_iters, interpret=False):
+    """rays/s for chained fwd+bwd steps on (means, scales, quats, opac, rgb)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gs2d_tpu.ops.rasterize.api import (RasterizeConfig, rasterize,
+                                            suggest_capacities)
+    from gs2d_tpu.ops.rasterize.preprocess import preprocess
+    from gs2d_tpu.scene.cameras import make_camera
+    from gs2d_tpu.utils.timing import timed_loop
+
     fovx = math.radians(70)
-    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
-    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 4.0]), fovx, fovy, W, H)
-    means, scales, quats, opac, rgb = build_scene()
-    # auto-tune the slot capacity: one probe binning → tight allocation
-    # (every capacity-proportional binning/gather/backward cost shrinks)
-    probe = jax.jit(lambda m, s, q, o: preprocess(
-        m, s, q, o, cam.world_view, cam.full_proj, cam.campos, W, H))(
-        means, scales, quats, opac)
-    cap = suggest_pairs_capacity(probe, W, H)
-    cfg = RasterizeConfig(width=W, height=H, pairs_capacity=cap, chunk=128)
-    cot = jnp.ones((15, H, W), jnp.float32)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * height / width)
+    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 3.0]), fovx, fovy,
+                      width, height)
+    means, scales, quats, opac, rgb = (jnp.asarray(x) for x in scene)
 
-    def loss(means, scales, quats, opac, rgb):
-        pre = preprocess(means, scales, quats, opac, cam.world_view,
-                         cam.full_proj, cam.campos, W, H, colors=rgb)
-        out, _ = rasterize(pre, cfg)
+    pre = jax.jit(lambda m, s, q, o, c: preprocess(
+        m, s, q, o, cam.world_view, cam.full_proj, cam.campos, width, height,
+        colors=c))(means, scales, quats, opac, rgb)
+    cap, fin_cap = suggest_capacities(pre, width, height)
+    cfg = RasterizeConfig(width=width, height=height, pairs_capacity=cap,
+                          final_capacity=fin_cap, interpret=interpret)
+    cot = jnp.ones((15, height, width), jnp.float32)
+
+    def loss(m, s, q, o, c):
+        p = preprocess(m, s, q, o, cam.world_view, cam.full_proj, cam.campos,
+                       width, height, colors=c)
+        out, _ = rasterize(p, cfg)
         return jnp.sum(out * cot)
 
     grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
 
-    # Chain iterations through a tiny param update so each step depends on
-    # the previous one — on async backends (axon tunnel) block_until_ready
-    # does not actually block, so timing must flow through data dependence
-    # (gs2d_tpu.utils.timing).
     def step(args):
         g = grad(*args)
         return tuple(a - 1e-12 * gi for a, gi in zip(args, g))
 
-    from gs2d_tpu.utils.timing import timed_loop
-    dt, _ = timed_loop(step, (means, scales, quats, opac, rgb), n=10)
-    rays_per_s = W * H / dt
+    dt, _ = timed_loop(step, (means, scales, quats, opac, rgb), n=n_iters)
+    return width * height / dt
 
-    base = os.environ.get("BENCH_BASELINE")
-    vs = rays_per_s / float(base) if base else None
-    print(json.dumps({
-        "metric": "rays_per_s_per_chip_fwd_bwd_1080p",
-        "value": rays_per_s,
-        "unit": "rays/s",
-        "vs_baseline": vs,
-    }))
+
+def build_uniform_scene(n, seed=0):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32),
+            rng.uniform(0.004, 0.02, (n, 2)).astype(np.float32),
+            rng.normal(size=(n, 4)).astype(np.float32),
+            rng.uniform(0.3, 0.9, (n,)).astype(np.float32),
+            rng.random((n, 3)).astype(np.float32))
+
+
+def main():
+    platform, n_dev = probe_backend()
+    if platform is None:
+        emit(None, error="tpu_unavailable",
+             extra={"detail": "backend probe hung/failed "
+                    f"{PROBE_RETRIES + 1}x at {PROBE_TIMEOUT_S}s"})
+        return
+
+    t0 = time.time()
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(DEADLINE_S)
+
+    # On a CPU fallback (driver misconfig / no TPU) a 1M-splat 1080p graph
+    # would not finish; scale the workload down and mark the record honestly.
+    on_tpu = platform == "tpu"
+    n_main = int(os.environ.get("BENCH_N", "1000000" if on_tpu else "20000"))
+    W, H = (1920, 1080) if on_tpu else (512, 288)
+    extra = {"platform": platform, "n_devices": n_dev,
+             "scene": f"trained_like_{n_main}", "width": W, "height": H}
+
+    value = None
+    try:
+        from gs2d_tpu.utils.bench_scenes import make_trained_like_scene
+        value = measure(make_trained_like_scene(n_main), W, H,
+                        n_iters=8 if on_tpu else 2, interpret=not on_tpu)
+        extra["headline_wall_s"] = round(time.time() - t0, 1)
+        # Secondary point: the historical 100k-uniform scene, only if the
+        # deadline leaves room for its compile (~2x headline wall so far).
+        if on_tpu and (time.time() - t0) * 2 < DEADLINE_S * 0.8:
+            try:
+                extra["uniform_100k_rays_per_s"] = measure(
+                    build_uniform_scene(100_000), 1920, 1080, n_iters=8)
+            except _Deadline:
+                signal.alarm(10)  # still emit the headline below
+                extra["uniform_100k_rays_per_s"] = None
+    except _Deadline:
+        signal.alarm(0)
+        emit(value, error="deadline_exceeded",
+             extra={**extra, "deadline_s": DEADLINE_S})
+        return
+    except Exception as e:  # noqa: BLE001 — must emit JSON regardless
+        signal.alarm(0)
+        emit(None, error=f"{type(e).__name__}: {e}"[:500], extra=extra)
+        return
+
+    signal.alarm(0)
+    emit(value, extra=extra)
 
 
 if __name__ == "__main__":
