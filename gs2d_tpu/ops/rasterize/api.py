@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from .binning import MAX_PAIRS_CAPACITY, BinningOut, bin_gaussians
-from .common import (NUM_OUT, TILE_H, TILE_PX, TILE_W, cdiv, pad_to)
+from .common import (ENTRY_F, NUM_OUT, TILE_H, TILE_PX, TILE_W, cdiv,
+                     pad_to)
 from .kernel_fwd import rasterize_fwd_pallas
 from .oracle import rasterize_oracle
 from .preprocess import PreprocessOut
@@ -159,15 +160,20 @@ def _core_bwd(cfg, res, g):
     d_raw = rasterize_bwd_pallas(
         entries, tile_start, tile_count, out, g, med_idx,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
-        interpret=cfg.interpret)                               # (P, 24) rows
+        interpret=cfg.interpret)                    # (P, DENTRY_F=22) rows
     # slot order → expansion order (dropped pairs contribute zero; padding
     # slots — including never-DMA-written ones — are simply never gathered)
     ok = inv < P_alloc
     d_pairs = d_raw[jnp.where(ok, inv, 0)]
     d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
-    d_sorted = _segment_sum_rows(d_pairs, seg_start, seg_end)   # (N, 24)
-    d_packed = jnp.zeros((N, d_raw.shape[1]), d_raw.dtype).at[order].set(
-        d_sorted)
+    d_sorted = _segment_sum_rows(d_pairs, seg_start, seg_end)  # (N, 22)
+    # Widen to the packed-entry layout only at N-size: the center columns'
+    # gradient is identically zero (common.py DENTRY_F), so the wire, the
+    # P-sized gather, and the segment sum all stay 22 columns.
+    zero2 = jnp.zeros((N, 2), d_raw.dtype)
+    d_sorted = jnp.concatenate(
+        [d_sorted[:, :12], zero2, d_sorted[:, 12:]], axis=1)   # (N, 24)
+    d_packed = jnp.zeros((N, ENTRY_F), d_raw.dtype).at[order].set(d_sorted)
     return d_packed, None, None, None, None, None, None, None
 
 

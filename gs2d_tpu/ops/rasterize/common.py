@@ -47,6 +47,23 @@ FLD_NORMAL = slice(18, 21)
 FLD_NOISE = slice(21, 24)
 ENTRY_F = 24
 
+# Backward gradient-row layout (d_entries). Same field order as the entry
+# record MINUS the two center columns: the center field feeds only the
+# low-pass filter branch, whose gradient the reference removed
+# (README.md:114), so its wire gradient is identically zero — carrying it
+# would add 8% to the backward's DMA-out, the slot→expansion gather, and
+# the segment sum. The screen-space densification gradient flows through
+# A instead (preprocess.py screen_offsets: A → A − dx·B − dy·C).
+DFLD_A = slice(0, 3)
+DFLD_B = slice(3, 6)
+DFLD_C = slice(6, 9)
+DFLD_C2 = slice(9, 12)
+DFLD_OPACITY = 12
+DFLD_RGB = slice(13, 16)
+DFLD_NORMAL = slice(16, 19)
+DFLD_NOISE = slice(19, 22)
+DENTRY_F = 22
+
 # Output channel layout of the tile kernel (15 channels; the bridge exposes
 # the first 13, channels 13-14 are totals needed by the backward pass).
 OUT_RGB = slice(0, 3)

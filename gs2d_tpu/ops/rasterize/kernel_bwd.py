@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import (ENTRY_F, NEAR_N, NUM_OUT, T_EPS, TILE_PX, TILE_W, cdiv)
+from .common import (DENTRY_F, ENTRY_F, NEAR_N, NUM_OUT, T_EPS, TILE_PX,
+                     TILE_W, cdiv)
 from .kernel_common import (M_SCALE, chunk_geometry, entry_validity,
                             mapped_depth, prefix_prod_excl_from_incl,
                             prefix_prod_incl, prefix_scan_incl)
@@ -175,7 +176,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
         def _():
             # tile saturated earlier: every remaining gradient is zero,
             # but the slots must still be written (consumed by segment-sum)
-            wbuf[slot] = jnp.zeros((chunk, ENTRY_F), jnp.float32)
+            wbuf[slot] = jnp.zeros((chunk, DENTRY_F), jnp.float32)
 
         @pl.when(was_done == 0)
         def _():
@@ -240,20 +241,18 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
         def red(x):
             return jnp.sum(x, axis=1, keepdims=True)
 
-        zero = jnp.zeros((chunk, 1), jnp.float32)
         cols = [
             red(dp0), red(dp1), red(dp2),                    # dA
             red(dp0 * px), red(dp1 * px), red(dp2 * px),     # dB
             red(dp0 * py), red(dp1 * py), red(dp2 * py),     # dC
             red(dz * u_s), red(dz * v_s), red(dz),           # dc2
-            zero, zero,                                      # dcenter xy
             red(dopa),                                       # dopacity
             red(w * g[0:1]), red(w * g[1:2]), red(w * g[2:3]),   # drgb
             red(w * g[5:6]), red(w * g[6:7]), red(w * g[7:8]),   # dnormal
             red(w * g[10:11]), red(w * g[11:12]), red(w * g[12:13]),  # dnoise
         ]
-        d_chunk = jnp.concatenate(cols, axis=1)              # (chunk, 24)
-        wbuf[slot] = d_chunk                                 # rows, no transpose
+        d_chunk = jnp.concatenate(cols, axis=1)           # (chunk, DENTRY_F)
+        wbuf[slot] = d_chunk                              # rows, no transpose
 
         # state updates
         state[2:3] += jnp.sum(wdw, axis=0, keepdims=True)
@@ -282,8 +281,9 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
                          g_tiles: jnp.ndarray, med_tiles: jnp.ndarray, *,
                          width: int, height: int, chunk: int = 128,
                          interpret: bool = False) -> jnp.ndarray:
-    """Per-entry gradients: returns d_entries with the same row-major
-    layout (P_alloc, ENTRY_F) as the forward's entries input."""
+    """Per-entry gradients: row-major (P_alloc, DENTRY_F) rows in the
+    common.py DFLD_* layout — the entry layout minus the two always-zero
+    center columns (the low-pass branch carries no gradient)."""
     if not interpret:
         assert chunk % 128 == 0
     ntx = cdiv(width, TILE_W)
@@ -305,7 +305,7 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((NUM_STATE, TILE_PX), jnp.float32),
             pltpu.VMEM((2, chunk, ENTRY_F), jnp.float32),
-            pltpu.VMEM((2, chunk, ENTRY_F), jnp.float32),
+            pltpu.VMEM((2, chunk, DENTRY_F), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
@@ -316,7 +316,7 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P_alloc, ENTRY_F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P_alloc, DENTRY_F), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_count, entries, out_tiles, g_tiles, med_tiles)

@@ -132,7 +132,8 @@ def bench_one(n, out_f, n_iters=8):
     rec["t_bwd_kernel_ms"] = dt * 1e3
 
     # ---- stage: bwd glue (slot→expansion gather, segment sum, scatter) -
-    d_raw = jnp.ones_like(entries)
+    from gs2d_tpu.ops.rasterize.common import DENTRY_F, ENTRY_F
+    d_raw = jnp.ones((entries.shape[0], DENTRY_F), jnp.float32)
     inv, seg_s, seg_e, order = bins.inv, bins.seg_start, bins.seg_end, \
         bins.order
     P_alloc = entries.shape[0]
@@ -144,7 +145,10 @@ def bench_one(n, out_f, n_iters=8):
         d_pairs = d[jnp.where(ok, inv, 0)]
         d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
         d_sorted = _segment_sum_rows(d_pairs, seg_s, seg_e)
-        d_packed = jnp.zeros((N, d.shape[1]), d.dtype).at[order].set(d_sorted)
+        d_sorted = jnp.concatenate(
+            [d_sorted[:, :12], jnp.zeros((N, 2), d.dtype), d_sorted[:, 12:]],
+            axis=1)
+        d_packed = jnp.zeros((N, ENTRY_F), d.dtype).at[order].set(d_sorted)
         return d + 1e-30 * jnp.sum(d_packed[::503])
     dt, _ = timed_loop(step_bglue, d_raw, n=n_iters)
     rec["t_bwd_glue_ms"] = dt * 1e3

@@ -68,7 +68,7 @@ def main():
     def step_bwd(e):
         d = rasterize_bwd_pallas(e, ts, tc, out_tiles, g_tiles, med_tiles,
                                  width=W, height=H, chunk=chunk)
-        return e + 1e-30 * d
+        return e + 1e-30 * jnp.sum(d[::503])
 
     t, _ = timed_loop(step_bwd, entries, n=10)
     print(f"bwd kernel: {t*1e3:.2f} ms")
