@@ -24,6 +24,8 @@ run smoke      1800 python scripts/tpu_smoke_fwd.py
 # process, axon plugin disabled — required when the tunnel flaps)
 run cpu_check  1200 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
   python scripts/cpu_check_fwd.py
+# 0c. compiled-kernel train-quality gate at 256x256 (VERDICT r2 item 6)
+run quality256 1800 python scripts/quality_gate_pallas.py
 # 1. THE headline: post-layout-change scale bench at 1M splats
 run scale1m    3600 python scripts/bench_scale.py 1000000
 # 2. primitive cost map at the 1M-splat scene (the glue attack's compass)
