@@ -141,25 +141,43 @@ def marching_tets(sdf: np.ndarray, origin=np.zeros(3), voxel_size=1.0,
 
 def largest_clusters(verts: np.ndarray, faces: np.ndarray,
                      num_clusters: int = 1, min_faces: int = 0):
-    """Keep the largest connected face clusters — replaces Open3D's
+    """Keep the largest EDGE-connected face clusters — replaces Open3D's
     cluster_connected_triangles post-process (utils/mesh_utils.py:22-43).
-    Returns (verts, faces, kept_vertex_indices)."""
+
+    Open3D clusters triangles through shared EDGES, so two components
+    touching at a single welded vertex stay separate clusters; vertex
+    connectivity would merge them and mis-rank sizes. The reference then
+    removes every cluster smaller than max(num_clusters-th largest,
+    min_faces) triangles (mesh_utils.py:35-37 — ties keep extras; when
+    fewer clusters exist than num_clusters we floor at the smallest
+    instead of the reference's IndexError). Returns
+    (verts, faces, kept_vertex_indices)."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import connected_components
 
     n = len(verts)
     if len(faces) == 0:
         return verts, faces, np.arange(n)
-    rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
-    cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
-    g = sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    F = len(faces)
+    # canonical (min, max) edge keys, 3 per face
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                        faces[:, [2, 0]]]).astype(np.int64)
+    e.sort(axis=1)
+    keys = e[:, 0] * np.int64(n) + e[:, 1]
+    uniq_keys, edge_id = np.unique(keys, return_inverse=True)
+    E = len(uniq_keys)
+    face_id = np.tile(np.arange(F, dtype=np.int64), 3)
+    # bipartite edge↔face graph: a component = one edge-connected cluster
+    g = sp.coo_matrix(
+        (np.ones(3 * F, np.int8), (edge_id, E + face_id)),
+        shape=(E + F, E + F))
     _, labels = connected_components(g, directed=False)
-    face_label = labels[faces[:, 0]]
-    sizes = np.bincount(face_label)
-    keep_labels = np.argsort(sizes)[::-1][:num_clusters]
-    keep_labels = [l for l in keep_labels
-                   if sizes[l] >= max(min_faces, 1)]
-    keep = np.isin(face_label, keep_labels)
+    face_label = labels[E + np.arange(F)]
+    sizes = np.bincount(face_label, minlength=int(labels.max()) + 1)
+    present = np.sort(sizes[sizes > 0])[::-1]
+    kth = int(present[min(num_clusters, len(present)) - 1])
+    thresh = max(kth, min_faces, 1)
+    keep = sizes[face_label] >= thresh
     faces2 = faces[keep]
     used = np.unique(faces2)
     remap = -np.ones(n, np.int64)

@@ -10,7 +10,6 @@ export, and largest-cluster post-processing.
 
 from __future__ import annotations
 
-import math
 import os
 from typing import List, Optional
 
@@ -54,7 +53,6 @@ class GaussianExtractor:
         """Jitted per-resolution renderer — eager dispatch sends every op
         through the runtime individually (minutes/view on remote
         backends); jitted it is one launch per view."""
-        import jax
         key = (width, height)
         fn = self._render_cache.get(key)
         if fn is None:
@@ -71,16 +69,36 @@ class GaussianExtractor:
     def reconstruction(self, viewpoints: List[CameraData]):
         """Render every view and stash rgb / surf-depth / alpha / normal
         (reference :104-137)."""
+        from ..ops.rasterize.binning import MAX_PAIRS_CAPACITY
         self.clean()
         self.viewpoints = list(viewpoints)
         for cam_data in viewpoints:
             cam = cam_data.camera
-            pkg = self._render_fn(cam.width, cam.height)(
-                cam, self.state, self.bg)
+            # a truncated render (binning pair overflow) would silently
+            # corrupt the fused mesh — grow capacity and re-render, like
+            # the training loop's overflow escalation (train/loop.py)
+            while True:
+                pkg = self._render_fn(cam.width, cam.height)(
+                    cam, self.state, self.bg)
+                if not bool(pkg["overflow"]):
+                    break
+                if self.pairs_capacity >= MAX_PAIRS_CAPACITY:
+                    print("[reconstruction] WARNING: pair demand exceeds "
+                          "the bookkeeping ceiling; render is truncated")
+                    break
+                self.pairs_capacity = min(self.pairs_capacity * 2,
+                                          MAX_PAIRS_CAPACITY)
+                self._render_cache.clear()
+                print(f"[reconstruction] pairs overflow — regrowing "
+                      f"capacity to {self.pairs_capacity}")
             self.rgbmaps.append(np.asarray(jnp.clip(pkg["render"], 0, 1)))
             self.depthmaps.append(np.asarray(pkg["surf_depth"]))
             self.alphamaps.append(np.asarray(pkg["rend_alpha"]))
             self.normalmaps.append(np.asarray(pkg["rend_normal"]))
+        # refresh the bounding sphere for THESE cameras (reference :137
+        # recomputes it every reconstruction; a stale sphere from a prior
+        # call would misplace the TSDF volume / contraction)
+        self.estimate_bounding_sphere()
 
     def estimate_bounding_sphere(self):
         """Focus point + min camera distance (reference :139-151)."""
@@ -95,7 +113,8 @@ class GaussianExtractor:
         return self.center, self.radius
 
     def extract_mesh_bounded(self, voxel_size=0.004, sdf_trunc=0.02,
-                             depth_trunc=3.0, max_dim=640):
+                             depth_trunc=3.0, max_dim=640,
+                             mask_background=True):
         """Bounded TSDF fusion (reference :154-195). The dense grid is
         capped at max_dim^3 (640^3 x 5 f32 channels ≈ 5 GB on a 16 GB
         chip) — Open3D's scalable volume is sparse and honors any voxel
@@ -117,10 +136,14 @@ class GaussianExtractor:
         for i, cd in enumerate(self.viewpoints):
             cam = cd.camera
             depth = self.depthmaps[i].reshape(cam.height, cam.width)
-            # mask out low-alpha depth like the reference's masked
-            # integrate (background has no surface)
-            mask = self.alphamaps[i].reshape(cam.height, cam.width) > 0.5
-            depth = np.where(mask, depth, 0.0)
+            # the reference masks depth ONLY with the dataset's GT alpha
+            # mask when one exists (mesh_utils.py:181-182); rendered-alpha
+            # masking would erode silhouette rims the reference fuses.
+            # Empty-background pixels carry depth≈0 and are dropped by
+            # integrate()'s validity gate, exactly like Open3D's.
+            if mask_background and cd.alpha_mask is not None:
+                m = np.asarray(cd.alpha_mask).reshape(cam.height, cam.width)
+                depth = np.where(m > 0.5, depth, 0.0)
             vol = integrate(
                 vol, jnp.asarray(depth), jnp.asarray(self.rgbmaps[i]),
                 cam.world_view,
@@ -135,7 +158,8 @@ class GaussianExtractor:
         colors = self._sample_colors(vol, verts)
         return verts, faces, colors
 
-    def extract_mesh_unbounded(self, resolution=512, block_size=256):
+    def extract_mesh_unbounded(self, resolution=512, block_size=256,
+                               max_range=32.0):
         """Unbounded meshing with MipNeRF-360 contraction
         (reference :198-293): evaluate a contracted-space SDF grid by
         projective fusion over all views with adaptive truncation, then
@@ -161,7 +185,27 @@ class GaussianExtractor:
 
         from ..ops.tsdf import fuse_sdf_points_views
         N = resolution
-        lin = np.linspace(-2 + 2 / N, 2 - 2 / N, N).astype(np.float32)
+        # Grid bound from the splats, like the reference (:274-276):
+        # R = min(q95(|contract(normalize(xyz))|) + 0.01, 1.9). A fixed
+        # near-2 box would (a) sample the surface region ~R/2 coarser and
+        # (b) reach corner radii |y| > 2 where 1/(2-|y|) flips sign and
+        # un-contraction reflects grid points back INSIDE the scene,
+        # emitting phantom sheets.
+        state = getattr(self, "state", None)
+        if state is not None:
+            means = np.asarray(state.params.xyz)
+            active = np.asarray(state.active).astype(bool)
+            if active.shape[0] == means.shape[0]:
+                means = means[active]
+            ynorm = np.linalg.norm((means - self.center) / self.radius,
+                                   axis=-1)
+            cmag = np.where(ynorm < 1, ynorm,
+                            2 - 1 / np.maximum(ynorm, 1e-9))
+        else:
+            cmag = np.zeros((0,))
+        R = float(min(np.quantile(cmag, 0.95) + 0.01, 1.9)) if len(cmag) \
+            else 1.9
+        lin = np.linspace(-R, R, N).astype(np.float32)
         voxel = float(lin[1] - lin[0]) if N > 1 else 1.0
         origin_c = np.array([lin[0]] * 3, np.float32)
 
@@ -184,9 +228,16 @@ class GaussianExtractor:
                 jnp.asarray(np.stack([np.asarray(
                     self.viewpoints[i].camera.world_view)
                     for i in idxs])),
-                jnp.asarray([fov2focal(self.viewpoints[i].camera.fovx, w)
+                # (W-1)/(2·tan): the reference samples with grid_sample
+                # align_corners=True, i.e. u = ndc·(W-1)/2 + (W-1)/2
+                # (mesh_utils.py:217-219) — W/(2·tan) would skew border
+                # taps by ~0.5 px (the bounded path, like Open3D, keeps
+                # fx = W/(2·tan); tsdf.py:158 centers both at (W-1)/2)
+                jnp.asarray([fov2focal(self.viewpoints[i].camera.fovx,
+                                       w - 1)
                              for i in idxs], dtype=jnp.float32),
-                jnp.asarray([fov2focal(self.viewpoints[i].camera.fovy, h)
+                jnp.asarray([fov2focal(self.viewpoints[i].camera.fovy,
+                                       h - 1)
                              for i in idxs], dtype=jnp.float32),
             ))
 
@@ -202,7 +253,10 @@ class GaussianExtractor:
             # adaptive truncation ∝ 1/(2-|y|) (reference :229-232), in
             # WORLD units: sdf = sampled_depth - z is world-scale, and
             # the reference's voxel_size = radius*2/N carries the scene
-            # radius (a contracted-unit band is radius-x too narrow)
+            # radius (a contracted-unit band is radius-x too narrow).
+            # Deliberately R-independent: the reference defines
+            # voxel_size from the FULL ±2 span (:269) even though its
+            # grid spans ±R.
             trunc = (5 * (2 / N) / scale * np.where(
                 r > 1, 1.0 / (2 - np.minimum(r, 1.9)), 1.0)
             ).astype(np.float32)
@@ -276,7 +330,11 @@ class GaussianExtractor:
               & (faces[:, 0] != faces[:, 2]))
         faces = faces[ok]
 
+        # clip un-contracted world vertices like the reference
+        # (mcube_utils.py:91-93): a crossing at contracted radius
+        # 2-ε un-contracts through 1/(2-|y|) to arbitrarily far points
         verts = uncontract(verts_c) / scale + self.center
+        verts = np.clip(verts, -max_range, max_range)
         return verts.astype(np.float32), faces, cols.astype(np.float32)
 
     def _sample_colors(self, vol: TSDFVolume, verts: np.ndarray):
@@ -310,9 +368,12 @@ class GaussianExtractor:
 
 
 def post_process_mesh(verts, faces, colors=None, num_cluster=50):
-    """Keep the num_cluster largest connected components
-    (reference utils/mesh_utils.py:22-43)."""
-    v2, f2, used = largest_clusters(verts, faces, num_clusters=num_cluster)
+    """Keep the num_cluster largest edge-connected components, dropping
+    clusters under the reference's 50-triangle floor
+    (reference utils/mesh_utils.py:22-43: threshold =
+    max(num_cluster-th largest size, 50))."""
+    v2, f2, used = largest_clusters(verts, faces, num_clusters=num_cluster,
+                                    min_faces=50)
     c2 = colors[used] if colors is not None else None
     return v2, f2, c2
 

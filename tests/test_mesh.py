@@ -43,6 +43,28 @@ def test_largest_clusters():
     assert (v2[:, 0] > 19).mean() > 0.99  # voxel coords: x>half grid
 
 
+def test_clusters_edge_connectivity():
+    """Open3D clusters triangles through shared EDGES: two fans touching
+    at a single vertex are separate clusters (mesh_utils.py:30), so the
+    3-triangle fan must win over two vertex-joined pairs."""
+    verts = np.array([
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],   # fan around 0
+        [3, 0, 0], [4, 0, 0], [4, 1, 0], [5, 0, 0],   # two pairs @ vert 4
+    ], np.float64)
+    faces = np.array([
+        [0, 1, 2], [0, 2, 3], [0, 3, 1],   # 3 edge-connected triangles
+        [4, 5, 6],   # isolated triangle, touches [4,7,3] only at vert 4
+        [4, 7, 3],   # touches the fan only at vert 3
+    ], np.int64)
+    v2, f2, used = largest_clusters(verts, faces, num_clusters=1)
+    # vertex-connectivity would merge everything into one cluster of 5;
+    # edge-connectivity keeps exactly the 3-face fan
+    assert len(f2) == 3
+    # reference floor: min_faces removes small clusters even in the top-k
+    v3, f3, _ = largest_clusters(verts, faces, num_clusters=5, min_faces=2)
+    assert len(f3) == 3
+
+
 def test_mesh_ply_roundtrip(tmp_path):
     sdf, voxel = _sphere_sdf(24)
     verts, faces = marching_tets(sdf)
