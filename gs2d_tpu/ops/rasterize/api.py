@@ -128,10 +128,26 @@ def _segment_sum_rows(d_pairs: jnp.ndarray, seg_start: jnp.ndarray,
     return (inp_e - inp_s) + (off_e - off_s)
 
 
+def _block_entries(packed, gid, chunk):
+    """(N, F) table + (P,) slot→Gaussian ids → (P/chunk, F, chunk) wire.
+
+    The row gather is XLA's; the blocked transpose turns its lane-padded
+    (P, F) output into the kernels' exact-storage wire format (Mosaic
+    rejects HBM DMA slices with a non-128 minor dim, and a (P, F) HBM
+    buffer is physically (P, 128) — 5.3x footprint)."""
+    rows = packed[gid]                                    # (P, F)
+    return rows.reshape(-1, chunk, rows.shape[1]).transpose(0, 2, 1)
+
+
+def _unblock_rows(blocked):
+    """(P/chunk, F, chunk) kernel output → (P, F) rows for the glue."""
+    return blocked.transpose(0, 2, 1).reshape(-1, blocked.shape[1])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _core(cfg: RasterizeConfig, packed, gid, inv, seg_start, seg_end,
           order, tile_start, tile_count):
-    entries = packed[gid]       # (P, F) rows — the kernels' wire format
+    entries = _block_entries(packed, gid, cfg.chunk)
     out, _ = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
@@ -141,7 +157,7 @@ def _core(cfg: RasterizeConfig, packed, gid, inv, seg_start, seg_end,
 
 def _core_fwd(cfg, packed, gid, inv, seg_start, seg_end, order,
               tile_start, tile_count):
-    entries = packed[gid]
+    entries = _block_entries(packed, gid, cfg.chunk)
     out, med_idx = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
@@ -155,12 +171,13 @@ def _core_bwd(cfg, res, g):
 
     (entries, inv, seg_start, seg_end, order, tile_start, tile_count,
      out, med_idx) = res
-    P_alloc = entries.shape[0]
+    P_alloc = entries.shape[0] * cfg.chunk
     N = order.shape[0]
-    d_raw = rasterize_bwd_pallas(
+    d_blk = rasterize_bwd_pallas(
         entries, tile_start, tile_count, out, g, med_idx,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
-        interpret=cfg.interpret)                    # (P, DENTRY_F=22) rows
+        interpret=cfg.interpret)          # (P/chunk, DENTRY_F, chunk) blocks
+    d_raw = _unblock_rows(d_blk)                    # (P, DENTRY_F=22) rows
     # slot order → expansion order (dropped pairs contribute zero; padding
     # slots — including never-DMA-written ones — are simply never gathered)
     ok = inv < P_alloc
@@ -264,6 +281,14 @@ def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
         rho2max=pre.rho2max if cfg.cull else None,
         final_capacity=cfg.final_capacity)
     packed = pack_entries(pre)                       # (N, 24) differentiable
+    # Zero any row carrying a non-finite value (binning deliberately keeps
+    # such pairs): a zero row has p2 == 0 ⇒ the kernels cull it exactly as
+    # NaN-comparison semantics used to, and its gradient is zero. This must
+    # happen before the wire blocking — the in-kernel MXU identity
+    # transpose would otherwise spread one Inf·0 = NaN across its whole
+    # chunk. N-sized, so the pass is free next to the P-sized gather.
+    finite = jnp.isfinite(packed).all(axis=1, keepdims=True)
+    packed = jnp.where(finite, packed, 0.0)
     # Materialize the packed records before the big expansion gather —
     # without the barrier XLA fuses the per-Gaussian preprocess math into
     # the gather, recomputing it per *pair* as 24 scalar column gathers

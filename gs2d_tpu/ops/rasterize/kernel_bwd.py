@@ -49,8 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import (DENTRY_F, ENTRY_F, NEAR_N, NUM_OUT, T_EPS, TILE_PX,
                      TILE_W, cdiv)
 from .kernel_common import (M_SCALE, chunk_geometry, entry_validity,
-                            mapped_depth, prefix_prod_excl_from_incl,
-                            prefix_prod_incl, prefix_scan_incl)
+                            mapped_depth, mxu_transpose,
+                            prefix_prod_excl_from_incl, prefix_prod_incl,
+                            prefix_scan_incl)
 from .kernel_fwd import _pixel_coords
 
 NUM_STATE = 4
@@ -125,19 +126,19 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
     border = ((px >= width) | (py >= height)).astype(jnp.float32)
     state[1:2] = border
 
+    start_blk = jax.lax.div(start, chunk)
+
     def dma_in(slot, ci):
-        # row-major (P_alloc, ENTRY_F): contiguous chunk slices (see
-        # kernel_fwd.dma)
-        off = pl.multiple_of(start + ci * chunk, 128)
+        # chunk-blocked (P_alloc/chunk, ENTRY_F, chunk): contiguous,
+        # tiling-legal block DMAs (see kernel_fwd.dma)
         return pltpu.make_async_copy(
-            entries.at[pl.ds(off, chunk), :],
+            entries.at[start_blk + ci],
             ebuf.at[slot], sem_r.at[slot])
 
     def dma_out(slot, ci):
-        off = pl.multiple_of(start + ci * chunk, 128)
         return pltpu.make_async_copy(
             wbuf.at[slot],
-            d_entries.at[pl.ds(off, chunk), :],
+            d_entries.at[start_blk + ci],
             sem_w.at[slot])
 
     # Grand total Σ_j w_j·dw_j in closed form from outputs × cotangents;
@@ -176,7 +177,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
         def _():
             # tile saturated earlier: every remaining gradient is zero,
             # but the slots must still be written (consumed by segment-sum)
-            wbuf[slot] = jnp.zeros((chunk, DENTRY_F), jnp.float32)
+            wbuf[slot] = jnp.zeros((DENTRY_F, chunk), jnp.float32)
 
         @pl.when(was_done == 0)
         def _():
@@ -186,7 +187,8 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
         return 0
 
     def _bwd_compute(ci, slot):
-        e = ebuf[slot]                     # (chunk, ENTRY_F) rows
+        # (ENTRY_F, chunk) wire block → (chunk, ENTRY_F) compute rows
+        e = mxu_transpose(ebuf[slot])
         (geom, a_eff, t_mult, cross, T_before, w, live, zs, m) = \
             _recompute_chunk(e, px, py, ci, chunk, count, state)
 
@@ -252,7 +254,7 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
             red(w * g[10:11]), red(w * g[11:12]), red(w * g[12:13]),  # dnoise
         ]
         d_chunk = jnp.concatenate(cols, axis=1)           # (chunk, DENTRY_F)
-        wbuf[slot] = d_chunk                              # rows, no transpose
+        wbuf[slot] = mxu_transpose(d_chunk)               # → (DENTRY_F, chunk)
 
         # state updates
         state[2:3] += jnp.sum(wdw, axis=0, keepdims=True)
@@ -281,14 +283,15 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
                          g_tiles: jnp.ndarray, med_tiles: jnp.ndarray, *,
                          width: int, height: int, chunk: int = 128,
                          interpret: bool = False) -> jnp.ndarray:
-    """Per-entry gradients: row-major (P_alloc, DENTRY_F) rows in the
-    common.py DFLD_* layout — the entry layout minus the two always-zero
-    center columns (the low-pass branch carries no gradient)."""
+    """Per-entry gradients, chunk-blocked (P_alloc/chunk, DENTRY_F, chunk)
+    in the common.py DFLD_* layout — the entry layout minus the two
+    always-zero center columns (the low-pass branch carries no gradient)."""
     if not interpret:
         assert chunk % 128 == 0
+    assert entries.ndim == 3 and entries.shape[1:] == (ENTRY_F, chunk)
     ntx = cdiv(width, TILE_W)
     T = out_tiles.shape[0]
-    P_alloc = entries.shape[0]
+    n_blocks = entries.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -304,8 +307,8 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((NUM_STATE, TILE_PX), jnp.float32),
-            pltpu.VMEM((2, chunk, ENTRY_F), jnp.float32),
-            pltpu.VMEM((2, chunk, DENTRY_F), jnp.float32),
+            pltpu.VMEM((2, ENTRY_F, chunk), jnp.float32),
+            pltpu.VMEM((2, DENTRY_F, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
@@ -316,7 +319,8 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P_alloc, DENTRY_F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, DENTRY_F, chunk),
+                                       jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_count, entries, out_tiles, g_tiles, med_tiles)

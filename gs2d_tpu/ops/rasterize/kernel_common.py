@@ -116,6 +116,26 @@ def prefix_prod_excl_from_incl(p_incl: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(row == 0, 1.0, pltpu.roll(p_incl, shift=1, axis=0))
 
 
+def mxu_transpose(x: jnp.ndarray) -> jnp.ndarray:
+    """(n, m) → (m, n) as one MXU matmul against an identity.
+
+    Mosaic rejects HBM DMA slices whose minor dim is not 128-aligned, so
+    the wire format is chunk-blocked (F, chunk) while the compute wants
+    (chunk, F); a relayout via jnp.swapaxes is layout-dependent, but an
+    identity contraction is always legal. BIT-EXACT even under the bf16x6
+    HIGHEST decomposition: the split hi+mid+lo of x is an exact sum, each
+    part times 1.0 is exact, and the f32 accumulation of non-overlapping
+    parts (plus exact zeros) rounds nowhere.
+    """
+    n = x.shape[0]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(x.dtype)
+    return jax.lax.dot_general(
+        x, eye, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def mxu_dot_t(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """aᵀ @ b on the MXU (HIGHEST = full f32 via bf16 decomposition):
     contracts dim 0 of both operands — the form the row-major (chunk, F)

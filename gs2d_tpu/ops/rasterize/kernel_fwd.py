@@ -3,8 +3,10 @@
 One grid program composites one (TILE_H, TILE_W) pixel tile (16x32 —
 near-square tiles minimize per-splat pixel work), flattened to TILE_PX
 lanes. Entries (depth-sorted, CHUNK-aligned per tile — see binning.py)
-are row-major (P, ENTRY_F) — each chunk slice is one contiguous HBM
-region — streamed HBM→VMEM with double-buffered async DMA.
+arrive chunk-blocked (P/chunk, ENTRY_F, chunk) — each block one
+contiguous, Mosaic-tiling-legal 12 KB HBM region — streamed HBM→VMEM
+with double-buffered async DMA, then rotated to (chunk, ENTRY_F)
+compute rows by one bit-exact MXU identity matmul per chunk.
 
 TPU-native compositing: instead of a per-splat sequential loop (the CUDA
 shape), each CHUNK of splats is composited in closed form —
@@ -43,8 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import (ENTRY_F, NUM_OUT, T_EPS, TILE_H, TILE_PX, TILE_W, cdiv)
 from .kernel_common import (chunk_geometry, entry_validity, mapped_depth,
-                            mxu_dot_t, prefix_prod_excl_from_incl,
-                            prefix_prod_incl)
+                            mxu_dot_t, mxu_transpose,
+                            prefix_prod_excl_from_incl, prefix_prod_incl)
 
 NUM_STATE = 16
 # state rows: 0 running transmittance T (product domain), 1 crossed,
@@ -77,15 +79,17 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
     state[1:2] = ((px >= width) | (py >= height)).astype(jnp.float32)
     state[15:16] = -jnp.ones((1, TILE_PX), jnp.float32)
 
+    start_blk = jax.lax.div(start, chunk)
+
     def dma(slot, ci):
-        # entries is row-major (P_alloc, ENTRY_F): a chunk slice is one
-        # CONTIGUOUS 12 KB HBM region (no strided SoA walk), and the
-        # 128-aligned offsets satisfy sublane slicing. Row layout also
-        # kills the host-side (P,F)→(F,P) transpose after the expansion
-        # gather AND the per-chunk VMEM transpose the compute needed.
-        off = pl.multiple_of(start + ci * chunk, 128)
+        # entries is chunk-blocked (P_alloc/chunk, ENTRY_F, chunk): one
+        # block is one CONTIGUOUS 12 KB HBM region whose minor dim (chunk)
+        # satisfies Mosaic's 128-lane slice tiling — a row-major (P, F)
+        # array would pad F→128 lanes in HBM (5.3x footprint) AND reject
+        # the (chunk, F) DMA slice outright. tile_start is chunk-aligned
+        # by binning, so block indexing is exact.
         return pltpu.make_async_copy(
-            entries.at[pl.ds(off, chunk), :],
+            entries.at[start_blk + ci],
             ebuf.at[slot],
             sem.at[slot],
         )
@@ -113,7 +117,8 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
 
         @pl.when(done_flag[0] == 0)
         def _():
-            e = ebuf[slot]                 # (chunk, ENTRY_F) rows
+            # (ENTRY_F, chunk) wire block → (chunk, ENTRY_F) compute rows
+            e = mxu_transpose(ebuf[slot])
 
             geom = chunk_geometry(e, px, py)
             crossed_in = state[1:2]
@@ -197,11 +202,12 @@ def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
                          tile_count: jnp.ndarray, *, width: int, height: int,
                          chunk: int = 128,
                          interpret: bool = False):
-    """entries (P_alloc, ENTRY_F) f32 rows → (out, med_idx):
+    """entries (P_alloc/chunk, ENTRY_F, chunk) f32 blocks → (out, med_idx):
     out (T, NUM_OUT, TILE_PX) f32; med_idx (T, 1, TILE_PX) f32 carries the
     per-pixel median contributor's tile-local slot (backward-only aux)."""
     if not interpret:
         assert chunk % 128 == 0, "hardware DMA needs 128-lane-aligned chunks"
+    assert entries.ndim == 3 and entries.shape[1:] == (ENTRY_F, chunk)
     ntx = cdiv(width, TILE_W)
     nty = cdiv(height, TILE_H)
     T = ntx * nty
@@ -217,7 +223,7 @@ def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
         ),
         scratch_shapes=[
             pltpu.VMEM((NUM_STATE, TILE_PX), jnp.float32),
-            pltpu.VMEM((2, chunk, ENTRY_F), jnp.float32),
+            pltpu.VMEM((2, ENTRY_F, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
         ],

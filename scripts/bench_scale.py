@@ -106,7 +106,9 @@ def bench_one(n, out_f, n_iters=8):
     rec["t_gather_ms"] = dt * 1e3
 
     # ---- stage: fwd kernel --------------------------------------------
-    entries = jax.jit(lambda p: p[gid])(packed)
+    entries = jax.jit(
+        lambda p: p[gid].reshape(-1, CHUNK, p.shape[1]).transpose(0, 2, 1)
+    )(packed)                                # (P/chunk, ENTRY_F, chunk) wire
     ts, tc = bins.tile_start, bins.tile_count
 
     @jax.jit
@@ -127,16 +129,17 @@ def bench_one(n, out_f, n_iters=8):
     def step_bwd(e):
         d = rasterize_bwd_pallas(e, ts, tc, out_tiles, g_tiles, med_tiles,
                                  width=W, height=H, chunk=CHUNK)
-        return e + 1e-30 * d
+        return e + 1e-30 * jnp.sum(d[::7])
     dt, _ = timed_loop(step_bwd, entries, n=n_iters)
     rec["t_bwd_kernel_ms"] = dt * 1e3
 
     # ---- stage: bwd glue (slot→expansion gather, segment sum, scatter) -
     from gs2d_tpu.ops.rasterize.common import DENTRY_F, ENTRY_F
-    d_raw = jnp.ones((entries.shape[0], DENTRY_F), jnp.float32)
+    P_slots = entries.shape[0] * CHUNK
+    d_raw = jnp.ones((P_slots, DENTRY_F), jnp.float32)
     inv, seg_s, seg_e, order = bins.inv, bins.seg_start, bins.seg_end, \
         bins.order
-    P_alloc = entries.shape[0]
+    P_alloc = P_slots
     N = order.shape[0]
 
     @jax.jit

@@ -56,8 +56,9 @@ def run(W, H, N, pairs_cap, label):
         if transpose and not kernel:
             g = g.T
         if kernel:
+            gb = g.reshape(-1, cfg.chunk, g.shape[1]).transpose(0, 2, 1)
             out, _ = rasterize_fwd_pallas(
-                g, bins.tile_start, bins.tile_count,
+                gb, bins.tile_start, bins.tile_count,
                 width=W, height=H, chunk=cfg.chunk)
             if do_untile:
                 img = untile(out, W, H)

@@ -46,7 +46,8 @@ def build():
         p.center2d, p.extent, p.depth, p.visible, W, H, 1 << 17, 128))(pre)
     packed = jax.jit(pack_entries)(pre)
     entries = np.asarray(packed)[np.asarray(bins.gid)]
-    entries = np.ascontiguousarray(entries.astype(np.float32))
+    entries = np.ascontiguousarray(
+        entries.astype(np.float32).reshape(-1, 128, 24).transpose(0, 2, 1))
     ts = np.asarray(bins.tile_start)
     tc = np.asarray(bins.tile_count)
 
@@ -90,7 +91,7 @@ def compare():
     # only slots inside some tile's chunk-aligned range are ever written
     # (the API masks the rest with slot_valid before the segment-sum)
     ts_a, tc_a = d["ts"].astype(np.int64), d["tc"].astype(np.int64)
-    written = int((ts_a + -(-tc_a // 128) * 128).max())
+    written = int((ts_a + -(-tc_a // 128) * 128).max()) // 128  # blocks
     de_hw = de_hw[:written]
     de_cpu = de_cpu[:written]
     scale = np.maximum(np.abs(de_cpu).max(axis=0, keepdims=True), 1e-6)

@@ -1,13 +1,18 @@
 """Structural perf-regression gates on the lowered rasterizer graph.
 
-The round-2 scale work (PERF.md) removed two ~1 GB host transposes by
-streaming row-major (P, 24) entries straight through both Pallas
-kernels. XLA could silently reintroduce a pair-table transpose through
-an innocuous-looking layout change far from the kernels — at 10M pairs
-that is hundreds of milliseconds. Lowering is cheap (no compile, no
-execution), so these checks pin the graph SHAPE itself:
+The wire format is chunk-blocked (P/chunk, 24, chunk): Mosaic rejects
+HBM DMA slices with a non-128 minor dim, and a flat (P, 24) HBM buffer
+is physically lane-padded to (P, 128) — 5.3x footprint. The ONLY legal
+P-sized relayout is therefore the *blocked* (…, chunk, 24)→(…, 24,
+chunk) transpose feeding the kernels (12 KB-local, cache-friendly). A
+FLAT (P, 24)↔(24, P) transpose — the round-1 design XLA could silently
+reintroduce through an innocuous layout change — moves the whole padded
+table twice and costs hundreds of milliseconds at 10M pairs. Lowering
+is cheap (no compile, no execution), so these checks pin the graph
+SHAPE itself:
 
-  * no transpose of a P-sized (pairs, 24) table in forward or backward,
+  * no FLAT transpose of a P-sized (pairs, 24) table in fwd or bwd
+    (the 3-D blocked transposes carry different shapes and are allowed),
   * at most two sorts in the whole fwd+bwd graph (binning's N-sized
     depth argsort + its P-sized tile-key sort) — a third one means a
     gradient path started re-sorting.
