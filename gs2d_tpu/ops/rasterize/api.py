@@ -238,10 +238,13 @@ def suggest_capacities(pre: PreprocessOut, width: int, height: int,
             break
         if probe_capacity >= MAX_PAIRS_CAPACITY:
             raise ValueError(
-                "pair demand exceeds the f32-exact bookkeeping ceiling "
-                f"(2^24 = {MAX_PAIRS_CAPACITY}); reduce resolution or "
+                "pair demand exceeds the exact bookkeeping ceiling "
+                f"(2^25 = {MAX_PAIRS_CAPACITY}); reduce resolution or "
                 "splat extents")
-        probe_capacity = min(probe_capacity * 4, MAX_PAIRS_CAPACITY)
+        # x2 (not x4): a probe one notch too large doubles the sort and
+        # attribute-stream footprint for nothing, and 2^25 is already
+        # the HBM budget line.
+        probe_capacity = min(probe_capacity * 2, MAX_PAIRS_CAPACITY)
     else:
         raise ValueError(
             f"pair demand still exceeds probe capacity {probe_capacity}")
@@ -250,7 +253,10 @@ def suggest_capacities(pre: PreprocessOut, width: int, height: int,
     exp_cap = max(pad_to(int(exp_need * slack), chunk), chunk)
     fin_cap = max(pad_to(int(fin_need * slack), chunk), chunk)
     fin_cap = min(fin_cap, MAX_PAIRS_CAPACITY)
-    return min(max(exp_cap, fin_cap), MAX_PAIRS_CAPACITY), fin_cap
+    # the expansion capacity must also satisfy the blocked attribute
+    # gather's 128-lane alignment (binning._GB) even for small chunks
+    cap = min(pad_to(max(exp_cap, fin_cap), 128), MAX_PAIRS_CAPACITY)
+    return cap, fin_cap
 
 
 def suggest_pairs_capacity(pre: PreprocessOut, width: int, height: int,

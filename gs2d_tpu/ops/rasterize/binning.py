@@ -34,11 +34,19 @@ import jax.numpy as jnp
 
 from .common import FILTER_INV_SQUARE, TILE_H, TILE_W, cdiv
 
-# f32 packed-integer bookkeeping (slot tables, exact division) is exact
-# only below 2^24; every capacity-growth path clamps here. 16.7M pairs
-# covers ~1.5x the heaviest 1080p trained-scene demand measured in
-# PERF_scale.jsonl (10.9M at 2M splats).
-MAX_PAIRS_CAPACITY = 1 << 24
+# Pair-capacity ceiling. Bookkeeping is int32 (exact to 2^31); the only
+# f32-packed column that carries capacity-scale integers — each
+# Gaussian's expansion start slot — rides the attribute table as an
+# exact (hi, lo) base-4096 pair, both halves < 2^24. Post-extent-fix
+# 1080p trained-scene demand measured 22–31M pre-cull pairs at 0.5–2M
+# splats (r3), so the old 2^24 bookkeeping ceiling was no longer
+# enough; 2^25 (33.5M) is the HBM budget line — the capacity-sized
+# attribute stream is ~2.4 GB blocked at 2^25. Gaussian COUNT N stays
+# ≤ 2^24 (its ids ride single f32 columns).
+MAX_PAIRS_CAPACITY = 1 << 25
+MAX_GAUSSIANS = 1 << 24
+_START_BASE = 4096  # base-4096 split keeps both halves exact in f32
+_GB = 128           # lane-blocking of the per-slot attribute gather
 
 
 class BinningOut(NamedTuple):
@@ -79,7 +87,7 @@ def _div_floor_f32(k: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return q.astype(jnp.int32)
 
 
-def _pair_contributes(grec: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
+def _pair_contributes(col, tx: jnp.ndarray, ty: jnp.ndarray,
                       width: int, height: int) -> jnp.ndarray:
     """Exact contribution test of pair (gaussian, tile) against the
     kernels' per-pixel condition (kernel_common.chunk_geometry):
@@ -98,10 +106,10 @@ def _pair_contributes(grec: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
 
     rho2d: exact — clamp the filter center to the rect.
     """
-    a0, a1, a2 = grec[:, 4], grec[:, 5], grec[:, 6]
-    b0, b1, b2 = grec[:, 7], grec[:, 8], grec[:, 9]
-    cc0, cc1, cc2 = grec[:, 10], grec[:, 11], grec[:, 12]
-    cx, cy, r2m = grec[:, 13], grec[:, 14], grec[:, 15]
+    a0, a1, a2 = col(5), col(6), col(7)
+    b0, b1, b2 = col(8), col(9), col(10)
+    cc0, cc1, cc2 = col(11), col(12), col(13)
+    cx, cy, r2m = col(14), col(15), col(16)
 
     x0 = (tx * TILE_W).astype(jnp.float32)
     x1 = jnp.minimum(x0 + (TILE_W - 1), width - 1.0)
@@ -194,10 +202,14 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         raise ValueError(
             f"final slot capacity {P_fin} must be a multiple of the "
             f"kernel chunk {chunk}")
-    if pairs_capacity > MAX_PAIRS_CAPACITY or N > MAX_PAIRS_CAPACITY:
-        raise ValueError("f32-exact pair bookkeeping requires "
-                         "pairs_capacity and N <= 2^24 "
+    if pairs_capacity > MAX_PAIRS_CAPACITY or N > MAX_GAUSSIANS:
+        raise ValueError("exact pair bookkeeping requires pairs_capacity "
+                         "<= 2^25 and N <= 2^24 "
                          "(growth paths must clamp to MAX_PAIRS_CAPACITY)")
+    if pairs_capacity % _GB:
+        raise ValueError(
+            f"pairs_capacity must be a multiple of {_GB} (the blocked "
+            "attribute-gather lane width)")
 
     depth_key = jnp.where(visible, depth, jnp.inf)
     g_order = jnp.argsort(depth_key, stable=True)          # (N,) front→back
@@ -257,24 +269,43 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
 
     # ONE packed row-gather for all per-slot Gaussian attributes (the row
     # width is nearly free — the per-row cost is access-granularity bound).
+    # The start slot can exceed 2^24 (capacity up to 2^25), so it rides
+    # the f32 table as an exact base-4096 (hi, lo) pair (exact int shift:
+    # the divisor is a static power of two — the slow case is int div by
+    # a RUNTIME divisor).
+    start_hi = jax.lax.shift_right_logical(starts, 12)
+    start_lo = starts - start_hi * _START_BASE
     gtab = jnp.concatenate(
-        [starts.astype(f32)[:, None], rtab[:, 1:],
-         g_order.astype(f32)[:, None]], axis=1)            # (N, 5|17)
-    grec = gtab[gidx_c]                                    # (P, 5|17)
-    k = slots - grec[:, 0].astype(jnp.int32)
-    w_i = jnp.maximum(grec[:, 1].astype(jnp.int32), 1)
+        [start_hi.astype(f32)[:, None], start_lo.astype(f32)[:, None],
+         rtab[:, 1:], g_order.astype(f32)[:, None]], axis=1)  # (N, 6|18)
+    # The gather lands BLOCKED — (P/128, F, 128) — so only the exact
+    # storage materializes. A row-major (P, F) f32 intermediate would be
+    # lane-padded to (P, 128) by the TPU tiled layout: 7-43x footprint,
+    # a 17-34 GB OOM at capacity 2^25 (the gather + reshape + transpose
+    # fuse into one blocked-output kernel; same trick as the kernels'
+    # chunk-blocked entry wire, api._block_entries).
+    F = gtab.shape[1]
+    grec = gtab[gidx_c].reshape(-1, _GB, F).transpose(0, 2, 1)  # (P/GB,F,GB)
+    col = lambda c: grec[:, c, :]                          # (P/GB, GB)
+    slots_b = slots.reshape(-1, _GB)
+    g_start = (col(0).astype(jnp.int32) * _START_BASE
+               + col(1).astype(jnp.int32))
+    k = slots_b - g_start
+    w_i = jnp.maximum(col(2).astype(jnp.int32), 1)
     dty = _div_floor_f32(k, w_i)
     dtx = k - dty * w_i
-    pair_valid = slots < total
-    g_tx0 = grec[:, 2].astype(jnp.int32)
-    g_ty0 = grec[:, 3].astype(jnp.int32)
+    pair_valid = slots_b < total
+    g_tx0 = col(3).astype(jnp.int32)
+    g_ty0 = col(4).astype(jnp.int32)
     tile = (g_ty0 + dty) * ntx + (g_tx0 + dtx)
-    pair_gid = grec[:, -1].astype(jnp.int32)
+    pair_gid = col(F - 1).astype(jnp.int32)
 
     if cull_abc is not None:
         pair_valid &= _pair_contributes(
-            grec, g_tx0 + dtx, g_ty0 + dty, width, height)
+            col, g_tx0 + dtx, g_ty0 + dty, width, height)
     tile_key = jnp.where(pair_valid, tile, T).astype(jnp.int32)
+    tile_key = tile_key.reshape(-1)
+    pair_gid = pair_gid.reshape(-1)
 
     # Stable sort by tile key; depth order is preserved within each tile.
     # The third operand carries the expansion-order pair index so the
@@ -298,20 +329,28 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     avail = jnp.maximum(P_fin - aligned_start, 0)
     tile_count = jnp.minimum(tile_count, avail)
 
-    # Scatter entries to aligned slots — per-slot tile attributes again via
-    # ONE packed row-gather (left, aligned_start, aligned_end).
-    # NOTE (measured, v5e 2026-08-17): a scatter-free routing variant
-    # (T-sized scatter + cummax ownership + row gathers, with the gradient
-    # reorder as a 25-operand stable sort) looked ~7 ms cheaper on paper,
-    # but in composition it ran SLOWER (fwd 54 ms vs 44 ms) and its
-    # backward block blew XLA compile time from ~40 s to >15 min. The two
-    # P-sized scatter-sets below are the fast-compiling, fast-running form.
-    ttab = jnp.stack([left, aligned_start, aligned_start + tile_count],
-                     axis=1)                                # (T, 3)
-    trec = ttab[jnp.minimum(key_sorted, T - 1)]             # (P, 3)
-    rank = jnp.arange(pairs_capacity, dtype=jnp.int32) - trec[:, 0]
-    new_slot = trec[:, 1] + rank
-    entry_ok = (key_sorted < T) & (new_slot < trec[:, 2])
+    # Route each sorted entry to its aligned slot with pure scans over
+    # the sorted keys — NO per-slot gather of tile attributes (the old
+    # (P, 3) s32 row-gather materialized lane-padded to (P, 128): 16 GB
+    # at capacity 2^25). Segments of equal key are contiguous, so:
+    #   rank within tile  = pos − (cummax of segment-start positions)
+    #   aligned start     = running sum, at each segment start, of the
+    #                       PREVIOUS segment's chunk-padded size
+    # which reproduces aligned_start[key] exactly (empty tiles pad 0).
+    pos = slots
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]])
+    left_pp = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    rank = pos - left_pp
+    prev_left = jnp.concatenate([jnp.zeros((1,), jnp.int32), left_pp[:-1]])
+    count_prev = pos - prev_left          # at a start: previous segment size
+    pad_prev = cdiv(count_prev, chunk) * chunk
+    contrib = jnp.where(is_start & (pos > 0), pad_prev, 0)
+    astart_pp = jnp.cumsum(contrib).astype(jnp.int32)   # own segment's start
+    new_slot = astart_pp + rank
+    # rank < tile_count is automatic (rank < segment size); the avail
+    # clamp of tile_count is equivalent to new_slot < P_fin.
+    entry_ok = (key_sorted < T) & (new_slot < P_fin)
     new_slot = jnp.where(entry_ok, new_slot, P_fin)  # dropped if out of range
 
     # One fused scatter: store gid+1 so empty slots read 0 ⇒ invalid.

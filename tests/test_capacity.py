@@ -54,7 +54,7 @@ def test_overflow_step_is_noop_on_device():
 
     # tiny capacity: 120 clustered splats across a 128x64 image need far
     # more than 64 slots -> guaranteed overflow
-    cfg_tiny = RasterizeConfig(width=128, height=64, pairs_capacity=64,
+    cfg_tiny = RasterizeConfig(width=128, height=64, pairs_capacity=128,
                                chunk=16, interpret=True)
     step = make_train_step(cfg_tiny, opt_cfg)
     ts0 = TrainState(gaussians=state, opt=init_adam(state.params),

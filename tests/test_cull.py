@@ -134,15 +134,17 @@ def test_rect_min_lower_bounds_pixels():
     cx = rng.uniform(-10, 70, n).astype(np.float32)
     cy = rng.uniform(-10, 50, n).astype(np.float32)
     r2m = rng.uniform(0.1, 11.0, n).astype(np.float32)
-    # grec layout: [starts, rw, tx0, ty0, A0..2, B0..2, C0..2, cx, cy, r2m]
+    # column layout: [start_hi, start_lo, rw, tx0, ty0,
+    #                 A0..2, B0..2, C0..2, cx, cy, r2m]
     grec = jnp.concatenate(
-        [jnp.zeros((n, 2), jnp.float32), jnp.zeros((n, 2), jnp.float32),
+        [jnp.zeros((n, 5), jnp.float32),
          jnp.asarray(A), jnp.asarray(B), jnp.asarray(C),
          jnp.stack([jnp.asarray(cx), jnp.asarray(cy),
                     jnp.asarray(r2m)], axis=1)], axis=1)
     tx = jnp.ones((n,), jnp.int32)
     ty = jnp.ones((n,), jnp.int32)
-    keep = np.asarray(_pair_contributes(grec, tx, ty, 1920, 1080))
+    keep = np.asarray(_pair_contributes(
+        lambda c: grec[:, c], tx, ty, 1920, 1080))
 
     xs = (np.arange(TILE_W) + TILE_W).astype(np.float32)
     ys = (np.arange(TILE_H) + TILE_H).astype(np.float32)

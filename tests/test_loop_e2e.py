@@ -84,7 +84,7 @@ def test_loop_schedule_end_to_end(monkeypatch):
     # initial_capacity barely above the 12-point init and a deliberately
     # starved pairs capacity: growth and overflow escalation MUST trigger
     rt = RuntimeParams(initial_capacity=16, capacity_headroom=1.25,
-                       pairs_capacity=64, chunk=16, interpret=True,
+                       pairs_capacity=128, chunk=16, interpret=True,
                        pairs_capacity_auto=False, seed=0)
 
     events = []
