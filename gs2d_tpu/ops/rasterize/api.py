@@ -178,8 +178,9 @@ def _core_bwd(cfg, res, g):
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
         interpret=cfg.interpret)          # (P/chunk, DENTRY_F, chunk) blocks
     d_raw = _unblock_rows(d_blk)                    # (P, DENTRY_F=22) rows
-    # slot order → expansion order (dropped pairs contribute zero; padding
-    # slots — including never-DMA-written ones — are simply never gathered)
+    # slot order → COMPACT culled-expansion order (same final-capacity
+    # size as the slots; dropped pairs contribute zero; padding slots —
+    # including never-DMA-written ones — are simply never gathered)
     ok = inv < P_alloc
     d_pairs = d_raw[jnp.where(ok, inv, 0)]
     d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)

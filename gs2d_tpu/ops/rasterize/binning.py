@@ -57,14 +57,16 @@ class BinningOut(NamedTuple):
     num_pairs: jnp.ndarray   # () int32 surviving pairs (post-cull, pre-clamp)
     padded_total: jnp.ndarray  # () int32 chunk-padded slot need (true demand)
     overflow: jnp.ndarray    # () bool — capacity exceeded, tails dropped
-    # Gradient-reduction side tables: expansion order (pairs grouped
+    # Gradient-reduction side tables in COMPACT coordinates: the culled
+    # expansion order (surviving pairs packed densely, still grouped
     # contiguously per depth-sorted Gaussian) → binned slot. The gather
     # VJP reduces per-Gaussian gradients with contiguous segment sums
     # instead of a scatter-add (which collapses to ~0.3 G adds/s once the
-    # accumulator exceeds VMEM).
-    inv: jnp.ndarray          # (P_exp,) int32 expansion pair → slot (P_fin if dropped)
-    seg_start: jnp.ndarray    # (N,) int32 expansion segment start, clamped
-    seg_end: jnp.ndarray      # (N,) int32 expansion segment end, clamped
+    # accumulator exceeds VMEM); compact sizing keeps those stages at
+    # final_capacity, not the ~2x larger bbox-expansion capacity.
+    inv: jnp.ndarray          # (P_fin,) int32 compact pair → slot (P_fin if dropped)
+    seg_start: jnp.ndarray    # (N,) int32 compact segment start, clamped
+    seg_end: jnp.ndarray      # (N,) int32 compact segment end, clamped
     order: jnp.ndarray        # (N,) int32 depth-sorted → original Gaussian id
     num_expanded: jnp.ndarray  # () int32 pre-cull expansion pair demand
 
@@ -306,12 +308,24 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     tile_key = jnp.where(pair_valid, tile, T).astype(jnp.int32)
     tile_key = tile_key.reshape(-1)
     pair_gid = pair_gid.reshape(-1)
+    pv_flat = pair_valid.reshape(-1)
+
+    # COMPACT gradient coordinates: the backward's per-pair gather and
+    # segment sum run over the CULLED expansion order (survivors packed
+    # densely, still grouped per depth-sorted Gaussian — dropping pairs
+    # inside a contiguous segment keeps it contiguous). Sizing those
+    # stages by final_capacity instead of pairs_capacity cuts them ~2x
+    # at trained scale, where the bbox expansion over-covers the true
+    # conic support.
+    valid_cum = jnp.cumsum(pv_flat.astype(jnp.int32))      # inclusive
+    compact_dst = jnp.where(pv_flat, valid_cum - 1, P_fin)
+    compact_dst = jnp.minimum(compact_dst, P_fin)          # overflow-safe
 
     # Stable sort by tile key; depth order is preserved within each tile.
-    # The third operand carries the expansion-order pair index so the
-    # gradient path can invert the slot permutation.
-    key_sorted, gid_sorted, p_sorted = jax.lax.sort(
-        (tile_key, pair_gid, slots), num_keys=1, is_stable=True)
+    # The third operand carries each entry's compact gradient position so
+    # the slot permutation can be inverted into compact coordinates.
+    key_sorted, gid_sorted, c_sorted = jax.lax.sort(
+        (tile_key, pair_gid, compact_dst), num_keys=1, is_stable=True)
 
     # Per-tile true counts and CHUNK-aligned starts.
     tiles = jnp.arange(T, dtype=jnp.int32)
@@ -359,11 +373,15 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     slot_valid = gid1 > 0
     gid = jnp.maximum(gid1 - 1, 0)
 
-    # expansion pair index → final slot (dropped pairs map to P_fin)
-    inv = jnp.full((pairs_capacity,), P_fin, jnp.int32).at[p_sorted].set(
+    # compact culled-pair index → final slot (clamp-dropped entries map
+    # to P_fin; compact positions beyond P_fin — overflow only — drop)
+    inv = jnp.full((P_fin,), P_fin, jnp.int32).at[c_sorted].set(
         new_slot, mode="drop")
-    seg_start = jnp.minimum(starts, pairs_capacity)
-    seg_end = jnp.minimum(cum, pairs_capacity)
+    # per-Gaussian segment bounds in compact coordinates: exclusive
+    # prefix of the validity count at each expansion boundary
+    excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), valid_cum])
+    seg_start = jnp.minimum(excl[jnp.minimum(starts, pairs_capacity)], P_fin)
+    seg_end = jnp.minimum(excl[jnp.minimum(cum, pairs_capacity)], P_fin)
 
     return BinningOut(
         gid=gid, slot_valid=slot_valid,

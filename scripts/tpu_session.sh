@@ -41,17 +41,17 @@ run kdiff_cpu  1200 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
 run quality256 1800 python scripts/quality_gate_pallas.py
 # 1. THE headline: post-layout-change scale bench at 1M splats
 run scale1m    3600 python scripts/bench_scale.py 1000000
-# 2. primitive cost map at the 1M-splat scene (the glue attack's compass)
-run glue3      3600 python scripts/profile_glue3.py
-# 3. chunk-size A/B: DMA-issue amortization vs padded-slot waste
-run scale1m_c256 3600 env BENCH_CHUNK=256 python scripts/bench_scale.py 1000000
-run scale1m_c512 3600 env BENCH_CHUNK=512 python scripts/bench_scale.py 1000000
-# 4. secondary microbench sweep
-run glue2      3600 python scripts/profile_glue2.py
-# 5. official bench artifact on real hardware (same line the driver runs)
+# 2. official bench artifact on real hardware (same line the driver runs)
 run bench      3600 python bench.py
-# 6. the 30k at-scale training run (VERDICT r2 item 4). Auto-resumable:
+# 3. the 30k at-scale training run (VERDICT r2 item 4). Auto-resumable:
 # if the window closes mid-run, the next session picks up from the last
 # checkpoint. Budget most of a tunnel window for it.
 run at_scale  28800 bash scripts/at_scale_run.sh
+# 4. primitive cost map at the 1M-splat scene (the glue attack's compass)
+run glue3      3600 python scripts/profile_glue3.py
+# 5. chunk-size A/B: DMA-issue amortization vs padded-slot waste
+run scale1m_c256 3600 env BENCH_CHUNK=256 python scripts/bench_scale.py 1000000
+run scale1m_c512 3600 env BENCH_CHUNK=512 python scripts/bench_scale.py 1000000
+# 6. secondary microbench sweep
+run glue2      3600 python scripts/profile_glue2.py
 echo "=== done ($(date +%T)) ===" | tee -a $OUT/session.log
