@@ -32,12 +32,12 @@ class RasterizeConfig:
     chunk: int = 128
     impl: str = "pallas"      # "pallas" | "oracle"
     interpret: bool = False   # run Pallas in interpreter mode (CPU tests)
-    # slot capacity AFTER the exact per-pair cull (binning.py). None →
+    # slot capacity AFTER the interval cull (binning.py). None →
     # pairs_capacity. The expansion bookkeeping stays at pairs_capacity;
     # every final-slot cost (expansion gather, kernel streams, d_entries)
     # scales with this smaller knob.
     final_capacity: Optional[int] = None
-    cull: bool = True         # exact contribution cull in binning
+    cull: bool = True         # conservative interval cull in binning
 
 
 def pack_entries(pre: PreprocessOut) -> jnp.ndarray:

@@ -4,13 +4,22 @@ Replaces the reference CUDA duplicate+radix-sort binning (SURVEY.md §2.1
 step 2) with a TPU-friendly fixed-capacity pipeline:
 
 1. stable argsort of Gaussians by view depth (culled → +inf, pushed last);
-2. per-Gaussian tile rectangles from the dual-conic screen extents;
-3. duplicated (gaussian, tile) pair expansion into a static-capacity slot
-   array (no dynamic shapes): slot→Gaussian ownership via a scatter +
-   running-max scan, per-slot attributes via ONE packed row-gather;
-4. one stable sort on the tile key — entries arrive depth-ordered, so the
-   stable sort leaves every tile's list depth-ordered (the CUDA 64-bit
-   (tile|depth) radix sort collapses to a single 32-bit key sort);
+2. per-Gaussian tile rectangles + conic constants from the dual-conic
+   screen extents;
+3. TWO-LEVEL expansion into a static-capacity slot array (no dynamic
+   shapes): Gaussians → (gaussian, tile-ROW) pairs, each row carrying a
+   conservative x-interval of the splat's support (the widest conic
+   chord over the row's y-strip, inflated so f32 slop only ADDS tiles)
+   — then rows → (gaussian, tile) pairs. Expanding intervals instead of
+   full bbox rows cuts pair demand ~6x at trained 1080p scale (26.7M
+   bbox pairs vs ~4.3M contributing at 1M splats). Ownership rides
+   scatter + running-max scans; level-2 row attributes ride a
+   forward-fill associative scan (gather-free: any capacity-sized
+   row-major gather operand would lane-pad to 128, a 16 GB OOM);
+4. survivors are compacted, then ONE stable sort on the tile key —
+   entries arrive depth-ordered, so the stable sort leaves every tile's
+   list depth-ordered (the CUDA 64-bit (tile|depth) radix sort
+   collapses to a single 32-bit key sort at final capacity);
 5. per-tile ranges with CHUNK-aligned starts, so the Pallas kernels can DMA
    whole chunks without ever touching a neighboring tile's slots (TPU has
    no atomics and no masked DMA — alignment replaces both).
@@ -18,9 +27,10 @@ step 2) with a TPU-friendly fixed-capacity pipeline:
 Performance notes (measured on v5e): 1-D gathers/searchsorted with ~2M
 queries are pathologically slow on TPU (a 17-step binary search of 2M
 queries ≈ 250 ms; five separate 1-D table gathers ≈ 70 ms), while ROW
-gathers of packed multi-column records cost ~3 ms for the same query
-count. Integer div/mod by a runtime divisor is also slow — replaced with
-exact f32 division (operands ≤ 2^24 with an epsilon guard).
+gathers of packed multi-column records are access-granularity bound —
+BUT their row-major operands/outputs lane-pad to 128 on TPU, so every
+capacity-sized record stream here is either blocked (gather + reshape +
+transpose fused to exact storage) or scan-reconstructed.
 
 Everything here is integer bookkeeping wrapped in stop_gradient by callers.
 """
@@ -47,6 +57,8 @@ MAX_PAIRS_CAPACITY = 1 << 25
 MAX_GAUSSIANS = 1 << 24
 _START_BASE = 4096  # base-4096 split keeps both halves exact in f32
 _GB = 128           # lane-blocking of the per-slot attribute gather
+_TROW_SHIFT = 11    # (tile row, first tile x) packed as row*2048 + x0,
+_TROW_BASE = 1 << _TROW_SHIFT  # exact in int32/f32 up to 32k-wide screens
 
 
 class BinningOut(NamedTuple):
@@ -81,20 +93,17 @@ def alloc_size(pairs_capacity: int) -> int:
     return pairs_capacity
 
 
-def _div_floor_f32(k: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Exact floor(k/w) for 0 <= k < 2^24, 1 <= w, via f32 (int div by a
-    runtime divisor is slow on TPU). The epsilon absorbs the <1 ulp f32
-    rounding of exact multiples."""
-    q = jnp.floor(k.astype(jnp.float32) / w.astype(jnp.float32) + 1e-5)
-    return q.astype(jnp.int32)
-
-
 def _pair_contributes(col, tx: jnp.ndarray, ty: jnp.ndarray,
                       width: int, height: int) -> jnp.ndarray:
     """Exact contribution test of pair (gaussian, tile) against the
     kernels' per-pixel condition (kernel_common.chunk_geometry):
     a pixel composites iff min(rho3d, rho2d) <= rho2max, with
     rho3d = (P0^2+P1^2)/P2^2 and rho2d the low-pass screen distance.
+
+    Not on the production path since the row-interval expansion replaced
+    the per-pair cull (bin_gaussians level 1): it is the independent
+    oracle that tests use to prove the conservative per-row intervals
+    never drop a contributing tile (tests/test_cull.py).
 
     rho3d: some tile pixel passes iff min over the tile's continuous
     pixel-center rect of Q(x,y) = P0^2 + P1^2 - rho2max*P2^2 is <= 0.
@@ -184,13 +193,14 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     """Bin Gaussians into per-tile depth-ordered slot lists.
 
     When ``cull_abc=(A, B, C)``/``rho2max`` (from preprocess) are given,
-    every expanded
-    (gaussian, tile) pair is tested EXACTLY against the kernels' per-pixel
-    contribution condition — min over the tile's pixel rect of the
-    quadratic Q (perspective falloff) and of the low-pass screen distance
-    — and non-contributing pairs are dropped before slot assignment. The
-    final slot arrays may then be allocated tighter via ``final_capacity``
-    (expansion bookkeeping stays at ``pairs_capacity``).
+    each Gaussian expands only the tiles inside a conservative per-row
+    x-interval of its support (widest conic chord over the row's
+    y-strip plus the low-pass filter chord, inflated so f32 slop can
+    only add tiles — tests/test_cull.py proves the superset property
+    against the exact per-tile oracle ``_pair_contributes``). Without
+    them every row expands its full bbox width. The final slot arrays
+    may be allocated tighter via ``final_capacity`` (expansion
+    bookkeeping stays at ``pairs_capacity``).
     """
     N = center2d.shape[0]
     ntx = cdiv(width, TILE_W)
@@ -216,10 +226,11 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     depth_key = jnp.where(visible, depth, jnp.inf)
     g_order = jnp.argsort(depth_key, stable=True)          # (N,) front→back
 
-    # Tile rects elementwise in ORIGINAL order, then ONE packed row-gather
-    # into depth order (several separate 1-D gathers cost ~1 ms each on
-    # v5e; a multi-column row gather is nearly free). All columns ride one
-    # f32 table — exact for the integer fields since everything < 2^24.
+    # Tile rects + per-Gaussian interval constants elementwise in
+    # ORIGINAL order, then ONE packed row-gather into depth order
+    # (several separate 1-D gathers cost ~1 ms each on v5e; a
+    # multi-column row gather is nearly free). All columns ride one f32
+    # table — exact for the integer fields since everything < 2^24.
     cx0, cy0 = center2d[:, 0], center2d[:, 1]
     ex0, ey0 = extent[:, 0], extent[:, 1]
     tx0 = jnp.clip(jnp.floor((cx0 - ex0) / TILE_W).astype(jnp.int32), 0, ntx)
@@ -228,87 +239,188 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     ty0 = jnp.clip(jnp.floor((cy0 - ey0) / TILE_H).astype(jnp.int32), 0, nty)
     ty1 = jnp.clip((jnp.floor((cy0 + ey0) / TILE_H) + 1).astype(jnp.int32),
                    0, nty)
-    rw0 = jnp.maximum(tx1 - tx0, 0)
     rh0 = jnp.maximum(ty1 - ty0, 0)
-    counts0 = jnp.where(visible, rw0 * rh0, 0)
+    counts0 = jnp.where(visible, rh0, 0)          # LEVEL-1: tile ROWS
     f32 = jnp.float32
-    cols = [counts0.astype(f32), rw0.astype(f32), tx0.astype(f32),
-            ty0.astype(f32)]
     if cull_abc is not None:
+        # Per-Gaussian conic constants in CENTERED screen coordinates
+        # (u, v) = (x - cx, y - cy): the splat's per-pixel falloff test
+        # (kernel_common.chunk_geometry) composites iff
+        # Q = P0^2 + P1^2 - rho2max*P2^2 <= 0 with P = A + B x + C y, or
+        # the low-pass screen distance passes. Centering kills the
+        # catastrophic linear-term cancellation of the expanded conic
+        # (qx = a.b with a ~ -b*cx); the remaining second-order
+        # cancellation (quu = |Bxy|^2 - r2m*b2^2) is gated by cond below.
         A, B, C = (jax.lax.stop_gradient(x) for x in cull_abc)
-        cols += [A[:, i] for i in range(3)]
-        cols += [B[:, i] for i in range(3)]
-        cols += [C[:, i] for i in range(3)]
-        cols += [cx0, cy0,
-                 jax.lax.stop_gradient(jnp.asarray(rho2max, f32))]
-    rtab = jnp.stack(cols, axis=1)[g_order]                # (N, 4|16)
-    counts = rtab[:, 0].astype(jnp.int32)
-    rw = rtab[:, 1].astype(jnp.int32)
+        r2m = jax.lax.stop_gradient(jnp.asarray(rho2max, f32))
+        b0, b1, b2 = B[:, 0], B[:, 1], B[:, 2]
+        e0, e1, e2 = C[:, 0], C[:, 1], C[:, 2]
+        p0 = A[:, 0] + b0 * cx0 + e0 * cy0
+        p1 = A[:, 1] + b1 * cx0 + e1 * cy0
+        p2 = A[:, 2] + b2 * cx0 + e2 * cy0
+        quu = b0 * b0 + b1 * b1 - r2m * b2 * b2
+        qvv = e0 * e0 + e1 * e1 - r2m * e2 * e2
+        quv = b0 * e0 + b1 * e1 - r2m * b2 * e2
+        gu = p0 * b0 + p1 * b1 - r2m * p2 * b2
+        gv = p0 * e0 + p1 * e1 - r2m * p2 * e2
+        qc = p0 * p0 + p1 * p1 - r2m * p2 * p2
+        # chord(v): quu u^2 + 2(quv v + gu) u + (qvv v^2 + 2 gv v + qc)
+        # <= 0; its discriminant in v is alf v^2 + 2 bet v + gam,
+        # CONCAVE for an ellipse (alf < 0) — so the widest chord over a
+        # row strip is at the clamped vertex, one closed form per row.
+        alf = quv * quv - quu * qvv
+        bet = quv * gu - quu * gv
+        gam = gu * gu - quu * qc
+        mag_uu = b0 * b0 + b1 * b1 + r2m * b2 * b2
+        mag_alf = quv * quv + jnp.abs(quu * qvv)
+        finite_all = jnp.isfinite(quu + quv + gu + alf + bet + gam
+                                  + cx0 + cy0 + r2m)
+        # conditioning gate: ill-conditioned / non-elliptic / non-finite
+        # splats fall back to the full bbox row (never drops a
+        # contributor; their bboxes are small — edge-on slivers)
+        cond = ((quu > 1e-3 * mag_uu) & (alf < -1e-6 * mag_alf)
+                & finite_all).astype(f32)
+        icols = [cx0, cy0, r2m, quu, quv, gu, alf, bet, gam, cond]
+    else:
+        z = jnp.zeros_like(cx0)
+        icols = [cx0, cy0, z, z, z, z, z, z, z, z]   # cond=0: full width
+    cols = [counts0.astype(f32), ty0.astype(f32), tx0.astype(f32),
+            tx1.astype(f32)] + icols
+    rtab = jnp.stack(cols, axis=1)[g_order]                # (N, 14)
+    counts = rtab[:, 0].astype(jnp.int32)                  # rows/gaussian
 
-    cum = jnp.cumsum(counts)                               # inclusive
-    total = cum[-1]
-    # int32 cumsum wraps when raw demand exceeds 2^31 (possible early in
-    # training: millions of unconverged splats x thousands of tiles) —
-    # a wrapped-negative total makes pair_valid all-False AND the
-    # overflow flag False, so training would silently optimize against
-    # an empty render. A f32 sum cannot wrap; its rounding (~2^-24
-    # relative) is irrelevant at threshold scale.
-    demand_f = jnp.sum(counts.astype(jnp.float32))
+    cumR = jnp.cumsum(counts)                              # inclusive
+    totalR = cumR[-1]            # rows <= N*nty < 2^31: cannot wrap
+    demand_rows_f = jnp.sum(counts.astype(f32))
 
-    # Expand pairs into pair_capacity slots. Which Gaussian owns slot s is
-    # searchsorted(cum, s, 'right'), but a binary search with 2M queries is
-    # ~17 chained 2M-gathers. Equivalent scatter+scan: drop each Gaussian's
-    # index at its start slot, then a running max — slots in
-    # [start_i, start_i+count_i) see exactly i (later starts lie beyond,
+    # ---- level 1: expand Gaussians into (gaussian, tile-row) pairs ----
+    # Which Gaussian owns row slot s: drop each Gaussian's index at its
+    # start slot, then a running max (later starts lie beyond,
     # zero-count Gaussians are dropped, ties telescope to the owner).
-    slots = jnp.arange(pairs_capacity, dtype=jnp.int32)
-    starts = cum - counts
-    seg_src = jnp.where(counts > 0, starts, pairs_capacity)
-    seg = jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src].max(
+    R_cap = pairs_capacity
+    pos1 = jnp.arange(R_cap, dtype=jnp.int32)
+    starts1 = cumR - counts
+    seg_src1 = jnp.where(counts > 0, starts1, R_cap)
+    seg1 = jnp.zeros((R_cap,), jnp.int32).at[seg_src1].max(
         jnp.arange(N, dtype=jnp.int32), mode="drop")
-    gidx = jax.lax.cummax(seg)
-    gidx_c = jnp.minimum(gidx, N - 1)
+    ridx = jnp.minimum(jax.lax.cummax(seg1), N - 1)
+    # start slots can exceed 2^24: exact base-4096 (hi, lo) f32 pair
+    s1hi = jax.lax.shift_right_logical(starts1, 12)
+    s1lo = starts1 - s1hi * _START_BASE
+    gtab1 = jnp.concatenate(
+        [s1hi.astype(f32)[:, None], s1lo.astype(f32)[:, None],
+         rtab[:, 1:], g_order.astype(f32)[:, None]], axis=1)  # (N, 16)
+    # The gather lands BLOCKED — (R/128, F, 128) — so only the exact
+    # storage materializes. A row-major (R, F) f32 intermediate would be
+    # lane-padded to (R, 128) by the TPU tiled layout: 8x footprint, a
+    # 16 GB OOM at capacity 2^25 (gather + reshape + transpose fuse into
+    # one blocked-output kernel; same trick as the kernels' chunk-blocked
+    # entry wire, api._block_entries).
+    F1 = gtab1.shape[1]
+    grec1 = gtab1[ridx].reshape(-1, _GB, F1).transpose(0, 2, 1)
+    c1 = lambda c: grec1[:, c, :]                          # (R/GB, GB)
+    # cols: 0 s1hi, 1 s1lo, 2 ty0, 3 tx0, 4 tx1, 5 cx, 6 cy, 7 r2m,
+    #       8 quu, 9 quv, 10 gu, 11 alf, 12 bet, 13 gam, 14 cond, 15 gid
+    pos1b = pos1.reshape(-1, _GB)
+    k1 = pos1b - (c1(0).astype(jnp.int32) * _START_BASE
+                  + c1(1).astype(jnp.int32))
+    ty = c1(2).astype(jnp.int32) + k1                      # tile row
+    g_tx0 = c1(3).astype(jnp.int32)
+    g_tx1 = c1(4).astype(jnp.int32)
+    cxg, cyg = c1(5), c1(6)
+    row_ok = pos1b < totalR
 
-    # ONE packed row-gather for all per-slot Gaussian attributes (the row
-    # width is nearly free — the per-row cost is access-granularity bound).
-    # The start slot can exceed 2^24 (capacity up to 2^25), so it rides
-    # the f32 table as an exact base-4096 (hi, lo) pair (exact int shift:
-    # the divisor is a static power of two — the slow case is int div by
-    # a RUNTIME divisor).
-    start_hi = jax.lax.shift_right_logical(starts, 12)
-    start_lo = starts - start_hi * _START_BASE
-    gtab = jnp.concatenate(
-        [start_hi.astype(f32)[:, None], start_lo.astype(f32)[:, None],
-         rtab[:, 1:], g_order.astype(f32)[:, None]], axis=1)  # (N, 6|18)
-    # The gather lands BLOCKED — (P/128, F, 128) — so only the exact
-    # storage materializes. A row-major (P, F) f32 intermediate would be
-    # lane-padded to (P, 128) by the TPU tiled layout: 7-43x footprint,
-    # a 17-34 GB OOM at capacity 2^25 (the gather + reshape + transpose
-    # fuse into one blocked-output kernel; same trick as the kernels'
-    # chunk-blocked entry wire, api._block_entries).
-    F = gtab.shape[1]
-    grec = gtab[gidx_c].reshape(-1, _GB, F).transpose(0, 2, 1)  # (P/GB,F,GB)
-    col = lambda c: grec[:, c, :]                          # (P/GB, GB)
-    slots_b = slots.reshape(-1, _GB)
-    g_start = (col(0).astype(jnp.int32) * _START_BASE
-               + col(1).astype(jnp.int32))
-    k = slots_b - g_start
-    w_i = jnp.maximum(col(2).astype(jnp.int32), 1)
-    dty = _div_floor_f32(k, w_i)
-    dtx = k - dty * w_i
-    pair_valid = slots_b < total
-    g_tx0 = col(3).astype(jnp.int32)
-    g_ty0 = col(4).astype(jnp.int32)
-    tile = (g_ty0 + dty) * ntx + (g_tx0 + dtx)
-    pair_gid = col(F - 1).astype(jnp.int32)
+    # Conservative per-row x-interval of the splat's support. The strip
+    # is the row's pixel-center y-range in centered coords; the conic
+    # interval is [min chord center - widest half, max + widest half]
+    # (chord centers are linear in v, the discriminant concave), the
+    # low-pass filter contributes an exact circle chord; both are
+    # inflated (absolute eps on the discriminant + 2 px margins) so f32
+    # slop can only ADD tiles, never drop a contributing one. The
+    # kernels' per-pixel test remains the exact arbiter.
+    ya = (ty * TILE_H).astype(f32)
+    yb = jnp.minimum(ya + (TILE_H - 1), height - 1.0)
+    va = ya - cyg
+    vb = yb - cyg
+    condg = c1(14) > 0.5
+    quug = jnp.where(condg, c1(8), 1.0)
+    quvg, gug = c1(9), c1(10)
+    alfg = jnp.where(condg, c1(11), -1.0)
+    betg, gamg = c1(12), c1(13)
+    vhat = jnp.clip(-betg / alfg, va, vb)
+    disc = (alfg * vhat + 2.0 * betg) * vhat + gamg
+    # absolute inflation ~1000x f32 eps of the evaluation magnitudes:
+    # rounding can then only widen the chord, never drop a contributor
+    disc = disc + 1e-4 * (jnp.abs(alfg) * vhat * vhat
+                          + 2.0 * jnp.abs(betg) * jnp.abs(vhat)
+                          + jnp.abs(gamg))
+    cne = condg & (disc >= 0.0)
+    half = jnp.sqrt(jnp.maximum(disc, 0.0)) / quug
+    ca = -(quvg * va + gug) / quug
+    cb = -(quvg * vb + gug) / quug
+    ulo_c = jnp.minimum(ca, cb) - half
+    uhi_c = jnp.maximum(ca, cb) + half
+    marg = 1e-3 * (jnp.abs(ulo_c) + jnp.abs(uhi_c)) + 2.0
+    ulo_c, uhi_c = ulo_c - marg, uhi_c + marg
+    rf2 = c1(7) * (1.0 / FILTER_INV_SQUARE)
+    dyf = jnp.maximum(jnp.maximum(va, -vb), 0.0)
+    fne = condg & (dyf * dyf <= rf2)
+    fhalf = jnp.sqrt(jnp.maximum(rf2 - dyf * dyf, 0.0)) + 1.0
+    big = jnp.float32(1e9)
+    ulo = jnp.minimum(jnp.where(cne, ulo_c, big),
+                      jnp.where(fne, -fhalf, big))
+    uhi = jnp.maximum(jnp.where(cne, uhi_c, -big),
+                      jnp.where(fne, fhalf, -big))
+    jx0 = jnp.clip(jnp.floor((cxg + ulo) / TILE_W).astype(jnp.int32),
+                   g_tx0, g_tx1)
+    jx1 = jnp.clip(jnp.floor((cxg + uhi) / TILE_W).astype(jnp.int32) + 1,
+                   jx0, g_tx1)
+    jx0 = jnp.where(condg, jx0, g_tx0)       # fallback: full bbox width
+    jx1 = jnp.where(condg, jx1, g_tx1)
+    cnt2 = jnp.where(row_ok, jx1 - jx0, 0)
+    trow = ty * _TROW_BASE + jx0             # packed (row, x0) < 2^24
+    gidrow = c1(F1 - 1).astype(jnp.int32)
 
-    if cull_abc is not None:
-        pair_valid &= _pair_contributes(
-            col, g_tx0 + dtx, g_ty0 + dty, width, height)
-    tile_key = jnp.where(pair_valid, tile, T).astype(jnp.int32)
-    tile_key = tile_key.reshape(-1)
-    pair_gid = pair_gid.reshape(-1)
-    pv_flat = pair_valid.reshape(-1)
+    # ---- level 2: expand rows into (gaussian, tile) pairs -------------
+    # Gather-free: a per-pair row-gather would need an R-sized row-major
+    # operand (lane-padded 16 GB at 2^25). Instead scatter each row's
+    # attributes at its pair-range start and forward-fill along slots —
+    # the range start by cummax (starts are monotone), (trow, gid) by a
+    # 3-operand associative select-scan.
+    cnt2f = cnt2.reshape(-1)
+    cum2 = jnp.cumsum(cnt2f)
+    total2 = cum2[-1]
+    # int32 cumsum wraps when raw demand exceeds 2^31 (possible early in
+    # training); a f32 sum cannot wrap and guards the overflow flag.
+    demand2_f = jnp.sum(cnt2f.astype(f32))
+    starts2 = cum2 - cnt2f
+    seg_src2 = jnp.where(cnt2f > 0, starts2, pairs_capacity)
+    start_pp = jax.lax.cummax(
+        jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].max(
+            starts2, mode="drop"))
+    flag0 = jnp.zeros((pairs_capacity,), bool).at[seg_src2].set(
+        True, mode="drop")
+    trow0 = jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].set(
+        trow.reshape(-1), mode="drop")
+    gid0 = jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].set(
+        gidrow.reshape(-1), mode="drop")
+
+    def _ffill(a, b):
+        af, at_, ag = a
+        bf, bt, bg = b
+        return (af | bf, jnp.where(bf, bt, at_), jnp.where(bf, bg, ag))
+
+    _, trow_pp, gid_pp = jax.lax.associative_scan(
+        _ffill, (flag0, trow0, gid0))
+
+    pos2 = jnp.arange(pairs_capacity, dtype=jnp.int32)
+    k2 = pos2 - start_pp
+    ty2 = jax.lax.shift_right_logical(trow_pp, _TROW_SHIFT)
+    jx2 = trow_pp - ty2 * _TROW_BASE + k2
+    tile = ty2 * ntx + jx2
+    pair_gid = gid_pp
+    pv_flat = pos2 < total2
+    tile_key = jnp.where(pv_flat, tile, T).astype(jnp.int32)
 
     # COMPACT gradient coordinates: the backward's per-pair gather and
     # segment sum run over the CULLED expansion order (survivors packed
@@ -321,11 +433,28 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     compact_dst = jnp.where(pv_flat, valid_cum - 1, P_fin)
     compact_dst = jnp.minimum(compact_dst, P_fin)          # overflow-safe
 
+    # Compact BEFORE the sort: scatter the survivors' (tile, gid) into
+    # dense compact positions, then sort only final_capacity entries.
+    # The expansion scatter is order-preserving, so compact order is
+    # still (depth, rect-scan) order and the stable tile sort leaves
+    # every tile depth-ordered exactly as before. At trained 1080p scale
+    # the exact cull keeps ~4.3M of ~27M bbox pairs — sorting the
+    # pre-cull expansion burned ~6x the necessary sort work (the sort is
+    # the superlinear part of binning; measured 838 ms total at 29.4M
+    # capacity, r3).
+    ctile = jnp.full((P_fin,), T, jnp.int32).at[compact_dst].set(
+        tile_key, mode="drop")
+    cgid = jnp.zeros((P_fin,), jnp.int32).at[compact_dst].set(
+        pair_gid, mode="drop")
+    # (invalid pairs carry tile_key == T and target position P_fin —
+    # dropped; compact padding positions keep key T and sort to the end)
+
     # Stable sort by tile key; depth order is preserved within each tile.
     # The third operand carries each entry's compact gradient position so
     # the slot permutation can be inverted into compact coordinates.
     key_sorted, gid_sorted, c_sorted = jax.lax.sort(
-        (tile_key, pair_gid, compact_dst), num_keys=1, is_stable=True)
+        (ctile, cgid, jnp.arange(P_fin, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
 
     # Per-tile true counts and CHUNK-aligned starts.
     tiles = jnp.arange(T, dtype=jnp.int32)
@@ -337,8 +466,10 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     aligned_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
     padded_total = aligned_start[-1] + padded[-1]   # chunk-padded slot need
-    overflow = ((padded_total > P_fin) | (total > pairs_capacity)
-                | (demand_f > jnp.float32(pairs_capacity)))
+    overflow = ((padded_total > P_fin) | (total2 > pairs_capacity)
+                | (demand2_f > jnp.float32(pairs_capacity))
+                | (totalR > R_cap)
+                | (demand_rows_f > jnp.float32(R_cap)))
     # Clamp so every tile's padded range fits inside the allocation.
     avail = jnp.maximum(P_fin - aligned_start, 0)
     tile_count = jnp.minimum(tile_count, avail)
@@ -351,7 +482,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     #   aligned start     = running sum, at each segment start, of the
     #                       PREVIOUS segment's chunk-padded size
     # which reproduces aligned_start[key] exactly (empty tiles pad 0).
-    pos = slots
+    pos = jnp.arange(P_fin, dtype=jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]])
     left_pp = jax.lax.cummax(jnp.where(is_start, pos, 0))
@@ -377,11 +508,19 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     # to P_fin; compact positions beyond P_fin — overflow only — drop)
     inv = jnp.full((P_fin,), P_fin, jnp.int32).at[c_sorted].set(
         new_slot, mode="drop")
-    # per-Gaussian segment bounds in compact coordinates: exclusive
-    # prefix of the validity count at each expansion boundary
+    # per-Gaussian segment bounds in compact coordinates: each
+    # Gaussian's level-2 pair block spans [starts2[first row],
+    # starts2[one-past-last row]) (rows are contiguous per Gaussian, so
+    # the block is contiguous even across empty rows); then the
+    # exclusive validity prefix maps those to compact positions.
+    starts2_ext = jnp.concatenate([starts2, total2[None]])
+    gstart2 = jnp.clip(starts2_ext[jnp.minimum(starts1, R_cap)],
+                       0, pairs_capacity)
+    gend2 = jnp.clip(starts2_ext[jnp.minimum(cumR, R_cap)],
+                     0, pairs_capacity)
     excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), valid_cum])
-    seg_start = jnp.minimum(excl[jnp.minimum(starts, pairs_capacity)], P_fin)
-    seg_end = jnp.minimum(excl[jnp.minimum(cum, pairs_capacity)], P_fin)
+    seg_start = jnp.minimum(excl[gstart2], P_fin)
+    seg_end = jnp.minimum(excl[gend2], P_fin)
 
     return BinningOut(
         gid=gid, slot_valid=slot_valid,
@@ -389,6 +528,6 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         num_pairs=num_pairs, padded_total=padded_total, overflow=overflow,
         inv=inv, seg_start=seg_start, seg_end=seg_end,
         order=g_order.astype(jnp.int32),
-        num_expanded=total,
+        num_expanded=total2,
     )
 

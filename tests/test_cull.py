@@ -1,11 +1,16 @@
-"""Exact contribution cull (binning._pair_contributes).
+"""Contribution culling via the per-row conservative intervals.
 
-The cull may only drop (gaussian, tile) pairs with zero kernel
-contribution. Two guarantees are tested:
+Binning expands each Gaussian into per-tile-row x-intervals of its
+support (bin_gaussians level 1) instead of full bbox rows. The cull may
+only drop (gaussian, tile) pairs with zero kernel contribution. Three
+guarantees are tested:
 
   * exactness — every dropped pair's max alpha over its tile's pixels
     (evaluated with the kernels' own per-pixel formula) is below
     ALPHA_CUTOFF, so the kernel would never have composited it;
+  * conservatism — every pair the exact per-tile oracle
+    (binning._pair_contributes, the continuous rect-min test) keeps is
+    present in the interval-culled tile lists;
   * image stability — the culled image matches the un-culled one to
     f32 re-association noise (dropping a zero-contribution entry shifts
     later entries' slots, which changes the summation tree inside the
@@ -58,8 +63,9 @@ def test_cull_image_close_and_cuts():
     assert not bool(aux0["overflow"]) and not bool(aux1["overflow"])
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
                                atol=5e-6, rtol=0)
-    # low-opacity + anisotropic scene: the exact test must actually cut
-    assert int(aux1["num_pairs"]) < int(aux1["num_expanded"])
+    # low-opacity + anisotropic scene: the intervals must actually cut
+    # expansion demand below the bbox demand (aux0 expands full rects)
+    assert int(aux1["num_expanded"]) < int(aux0["num_expanded"])
 
 
 def test_dropped_pairs_never_composite():
@@ -108,6 +114,51 @@ def test_dropped_pairs_never_composite():
                 f"dropped pair (g={g}, t={t}) composites: " \
                 f"alpha {alpha.max()}"
     assert n_dropped > 0, "scene produced no cullable pairs"
+
+
+def test_intervals_contain_exact_keep_set():
+    """Conservatism: the interval-culled tile lists are a superset of
+    what the exact per-tile oracle keeps — the row intervals (inflated
+    chords + margins, full-width fallback when ill-conditioned) may add
+    tiles but never drop one the continuous rect-min test would keep."""
+    for seed in (0, 1, 2):
+        pre, cam = _pre(seed=seed, opacity_lo=0.002)
+        w, h = 128, 96
+        b0 = bin_gaussians(pre.center2d, pre.extent, pre.depth, pre.visible,
+                           w, h, 1 << 15, 128)
+        b1 = bin_gaussians(pre.center2d, pre.extent, pre.depth, pre.visible,
+                           w, h, 1 << 15, 128,
+                           cull_abc=(pre.A, pre.B, pre.C),
+                           rho2max=pre.rho2max, final_capacity=1 << 15)
+        assert not bool(b0.overflow) and not bool(b1.overflow)
+        ntx, nty = cdiv(w, TILE_W), cdiv(h, TILE_H)
+        T = ntx * nty
+        sets0, sets1 = _tile_gid_sets(b0, T), _tile_gid_sets(b1, T)
+        # exact oracle per (pair in bbox): evaluate _pair_contributes
+        A, B, C = pre.A, pre.B, pre.C
+        c2d = np.asarray(pre.center2d)
+        r2m = np.asarray(pre.rho2max)
+        grec = jnp.concatenate(
+            [jnp.zeros((A.shape[0], 5), jnp.float32), A, B, C,
+             jnp.stack([jnp.asarray(c2d[:, 0]), jnp.asarray(c2d[:, 1]),
+                        jnp.asarray(r2m)], axis=1)], axis=1)
+        n_checked = 0
+        for t in range(T):
+            cand = sorted(sets0[t])
+            if not cand:
+                continue
+            gi = jnp.asarray(cand, jnp.int32)
+            keep = np.asarray(_pair_contributes(
+                lambda c: grec[gi, c],
+                jnp.full((len(cand),), t % ntx, jnp.int32),
+                jnp.full((len(cand),), t // ntx, jnp.int32), w, h))
+            for g, k in zip(cand, keep):
+                if k:
+                    n_checked += 1
+                    assert g in sets1[t], \
+                        f"seed {seed}: exact-keep pair (g={g}, t={t}) " \
+                        "missing from interval lists"
+        assert n_checked > 100
 
 
 def test_cull_shrinks_final_capacity():
