@@ -93,6 +93,53 @@ def alloc_size(pairs_capacity: int) -> int:
     return pairs_capacity
 
 
+def _ffill2(flag: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
+    """Segmented forward-fill of two value arrays along slots: each slot
+    takes (a, b) from the nearest flagged slot at-or-before it.
+
+    Hand-rolled Hillis–Steele on the (flag, value) fill monoid:
+    log-shift passes inside 128-lane blocks, a tiny cross-block carry
+    fill, then one carry application — all plain elementwise ops. (The
+    obvious jax.lax.associative_scan over a 3-operand tuple at 2^25
+    slots never finished the TPU AOT compile — >1 h, r3 — while
+    compiling to the same work on CPU.)"""
+    P = flag.shape[0]
+    Bn = P // _GB
+    f = flag.reshape(Bn, _GB)
+    av = a.reshape(Bn, _GB)
+    bv = b.reshape(Bn, _GB)
+    s = 1
+    while s < _GB:
+        fs = jnp.pad(f, ((0, 0), (s, 0)))[:, :_GB]
+        as_ = jnp.pad(av, ((0, 0), (s, 0)))[:, :_GB]
+        bs_ = jnp.pad(bv, ((0, 0), (s, 0)))[:, :_GB]
+        take = ~f & fs
+        av = jnp.where(take, as_, av)
+        bv = jnp.where(take, bs_, bv)
+        f = f | fs
+        s *= 2
+    # cross-block carries: the filled last lane of each block, forward-
+    # filled over blocks (Bn-sized — negligible), applied shifted by one
+    cf, ca, cb = f[:, -1], av[:, -1], bv[:, -1]
+    s = 1
+    while s < Bn:
+        cfs = jnp.pad(cf, (s, 0))[:Bn]
+        cas = jnp.pad(ca, (s, 0))[:Bn]
+        cbs = jnp.pad(cb, (s, 0))[:Bn]
+        take = ~cf & cfs
+        ca = jnp.where(take, cas, ca)
+        cb = jnp.where(take, cbs, cb)
+        cf = cf | cfs
+        s *= 2
+    pf = jnp.pad(cf, (1, 0))[:Bn][:, None]
+    pa = jnp.pad(ca, (1, 0))[:Bn][:, None]
+    pb = jnp.pad(cb, (1, 0))[:Bn][:, None]
+    take = ~f & pf
+    av = jnp.where(take, pa, av)
+    bv = jnp.where(take, pb, bv)
+    return av.reshape(-1), bv.reshape(-1)
+
+
 def _pair_contributes(col, tx: jnp.ndarray, ty: jnp.ndarray,
                       width: int, height: int) -> jnp.ndarray:
     """Exact contribution test of pair (gaussian, tile) against the
@@ -404,14 +451,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         trow.reshape(-1), mode="drop")
     gid0 = jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].set(
         gidrow.reshape(-1), mode="drop")
-
-    def _ffill(a, b):
-        af, at_, ag = a
-        bf, bt, bg = b
-        return (af | bf, jnp.where(bf, bt, at_), jnp.where(bf, bg, ag))
-
-    _, trow_pp, gid_pp = jax.lax.associative_scan(
-        _ffill, (flag0, trow0, gid0))
+    trow_pp, gid_pp = _ffill2(flag0, trow0, gid0)
 
     pos2 = jnp.arange(pairs_capacity, dtype=jnp.int32)
     k2 = pos2 - start_pp
