@@ -44,19 +44,13 @@ import jax.numpy as jnp
 
 from .common import FILTER_INV_SQUARE, TILE_H, TILE_W, cdiv
 
-# Pair-capacity ceiling. Bookkeeping is int32 (exact to 2^31); the only
-# f32-packed column that carries capacity-scale integers — each
-# Gaussian's expansion start slot — rides the attribute table as an
-# exact (hi, lo) base-4096 pair, both halves < 2^24. Post-extent-fix
-# 1080p trained-scene demand measured 22–31M pre-cull pairs at 0.5–2M
-# splats (r3), so the old 2^24 bookkeeping ceiling was no longer
-# enough; 2^25 (33.5M) is the HBM budget line — the capacity-sized
-# attribute stream is ~2.4 GB blocked at 2^25. Gaussian COUNT N stays
-# ≤ 2^24 (its ids ride single f32 columns).
+# Pair-capacity ceiling. Bookkeeping is int32 (exact to 2^31) or
+# scatter/scan-reconstructed, so 2^25 (33.5M) is simply the HBM budget
+# line for the capacity-sized streams. Gaussian COUNT N stays ≤ 2^24
+# (its ids ride single f32 columns through the forward-fill).
 MAX_PAIRS_CAPACITY = 1 << 25
 MAX_GAUSSIANS = 1 << 24
-_START_BASE = 4096  # base-4096 split keeps both halves exact in f32
-_GB = 128           # lane-blocking of the per-slot attribute gather
+_GB = 128           # lane width of the forward-fill blocking
 _TROW_SHIFT = 11    # (tile row, first tile x) packed as row*2048 + x0,
 _TROW_BASE = 1 << _TROW_SHIFT  # exact in int32/f32 up to 32k-wide screens
 
@@ -93,51 +87,46 @@ def alloc_size(pairs_capacity: int) -> int:
     return pairs_capacity
 
 
-def _ffill2(flag: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
-    """Segmented forward-fill of two value arrays along slots: each slot
-    takes (a, b) from the nearest flagged slot at-or-before it.
+def _ffill_k(flag: jnp.ndarray, *vals: jnp.ndarray):
+    """Segmented forward-fill of K value arrays along slots: each slot
+    takes its values from the nearest flagged slot at-or-before it.
 
-    Hand-rolled Hillis–Steele on the (flag, value) fill monoid:
+    Hand-rolled Hillis–Steele on the (flag, values) fill monoid:
     log-shift passes inside 128-lane blocks, a tiny cross-block carry
     fill, then one carry application — all plain elementwise ops. (The
-    obvious jax.lax.associative_scan over a 3-operand tuple at 2^25
+    obvious jax.lax.associative_scan over an operand tuple at 2^22+
     slots never finished the TPU AOT compile — >1 h, r3 — while
-    compiling to the same work on CPU.)"""
+    compiling to the same work on CPU. Capacity-sized row GATHERS are
+    no alternative either: ~20 ns per row on v5e regardless of width,
+    and their row-major operands lane-pad to 128.)"""
     P = flag.shape[0]
     Bn = P // _GB
     f = flag.reshape(Bn, _GB)
-    av = a.reshape(Bn, _GB)
-    bv = b.reshape(Bn, _GB)
+    vs = [v.reshape(Bn, _GB) for v in vals]
     s = 1
     while s < _GB:
         fs = jnp.pad(f, ((0, 0), (s, 0)))[:, :_GB]
-        as_ = jnp.pad(av, ((0, 0), (s, 0)))[:, :_GB]
-        bs_ = jnp.pad(bv, ((0, 0), (s, 0)))[:, :_GB]
         take = ~f & fs
-        av = jnp.where(take, as_, av)
-        bv = jnp.where(take, bs_, bv)
+        vs = [jnp.where(take, jnp.pad(v, ((0, 0), (s, 0)))[:, :_GB], v)
+              for v in vs]
         f = f | fs
         s *= 2
     # cross-block carries: the filled last lane of each block, forward-
     # filled over blocks (Bn-sized — negligible), applied shifted by one
-    cf, ca, cb = f[:, -1], av[:, -1], bv[:, -1]
+    cf = f[:, -1]
+    cs = [v[:, -1] for v in vs]
     s = 1
     while s < Bn:
         cfs = jnp.pad(cf, (s, 0))[:Bn]
-        cas = jnp.pad(ca, (s, 0))[:Bn]
-        cbs = jnp.pad(cb, (s, 0))[:Bn]
         take = ~cf & cfs
-        ca = jnp.where(take, cas, ca)
-        cb = jnp.where(take, cbs, cb)
+        cs = [jnp.where(take, jnp.pad(c, (s, 0))[:Bn], c) for c in cs]
         cf = cf | cfs
         s *= 2
     pf = jnp.pad(cf, (1, 0))[:Bn][:, None]
-    pa = jnp.pad(ca, (1, 0))[:Bn][:, None]
-    pb = jnp.pad(cb, (1, 0))[:Bn][:, None]
     take = ~f & pf
-    av = jnp.where(take, pa, av)
-    bv = jnp.where(take, pb, bv)
-    return av.reshape(-1), bv.reshape(-1)
+    vs = [jnp.where(take, jnp.pad(c, (1, 0))[:Bn][:, None], v)
+          for v, c in zip(vs, cs)]
+    return [v.reshape(-1) for v in vs]
 
 
 def _pair_contributes(col, tx: jnp.ndarray, ty: jnp.ndarray,
@@ -319,18 +308,25 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         bet = quv * gu - quu * gv
         gam = gu * gu - quu * qc
         mag_uu = b0 * b0 + b1 * b1 + r2m * b2 * b2
-        mag_alf = quv * quv + jnp.abs(quu * qvv)
         finite_all = jnp.isfinite(quu + quv + gu + alf + bet + gam
                                   + cx0 + cy0 + r2m)
-        # conditioning gate: ill-conditioned / non-elliptic / non-finite
-        # splats fall back to the full bbox row (never drops a
-        # contributor; their bboxes are small — edge-on slivers)
-        cond = ((quu > 1e-3 * mag_uu) & (alf < -1e-6 * mag_alf)
-                & finite_all).astype(f32)
-        icols = [cx0, cy0, r2m, quu, quv, gu, alf, bet, gam, cond]
+        # Conditioning gate on quu only (the chord denominator): its
+        # relative error is ~eps*mag_uu/quu, absorbed by the adaptive
+        # margin factor below. No ellipse-ness gate — for alf >= 0 the
+        # discriminant is convex in v, so its strip max sits at the
+        # endpoints and the chord bound stays conservative (gating on
+        # alf dumped every extreme-aspect sliver to full bbox rows:
+        # 0.3% of splats carrying 7.0M of 11.5M pairs at the 1M-splat
+        # 1080p operating point). Ill-conditioned / non-finite splats
+        # fall back to the full bbox row (margf <= 0 sentinel).
+        cond = (quu > 1e-4 * mag_uu) & finite_all
+        margf = jnp.where(
+            cond, 1e-3 + 64.0 * 1.2e-7 * mag_uu / jnp.where(cond, quu, 1.0),
+            -1.0)
+        icols = [cx0, cy0, r2m, quu, quv, gu, alf, bet, gam, margf]
     else:
         z = jnp.zeros_like(cx0)
-        icols = [cx0, cy0, z, z, z, z, z, z, z, z]   # cond=0: full width
+        icols = [cx0, cy0, z, z, z, z, z, z, z, z - 1.0]  # fallback: full
     cols = [counts0.astype(f32), ty0.astype(f32), tx0.astype(f32),
             tx1.astype(f32)] + icols
     rtab = jnp.stack(cols, axis=1)[g_order]                # (N, 14)
@@ -341,40 +337,38 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     demand_rows_f = jnp.sum(counts.astype(f32))
 
     # ---- level 1: expand Gaussians into (gaussian, tile-row) pairs ----
-    # Which Gaussian owns row slot s: drop each Gaussian's index at its
-    # start slot, then a running max (later starts lie beyond,
-    # zero-count Gaussians are dropped, ties telescope to the owner).
+    # Gather-free: each Gaussian's attributes are SCATTERED at its row-
+    # range start and forward-filled along row slots (rows per Gaussian
+    # are contiguous). A capacity-sized row gather would cost ~20 ns per
+    # row on v5e regardless of width — the forward-fill's ~7 elementwise
+    # lane-shift passes move the same data at streaming bandwidth. The
+    # row-range start itself forward-fills by cummax (starts monotone).
     R_cap = pairs_capacity
     pos1 = jnp.arange(R_cap, dtype=jnp.int32)
     starts1 = cumR - counts
     seg_src1 = jnp.where(counts > 0, starts1, R_cap)
-    seg1 = jnp.zeros((R_cap,), jnp.int32).at[seg_src1].max(
-        jnp.arange(N, dtype=jnp.int32), mode="drop")
-    ridx = jnp.minimum(jax.lax.cummax(seg1), N - 1)
-    # start slots can exceed 2^24: exact base-4096 (hi, lo) f32 pair
-    s1hi = jax.lax.shift_right_logical(starts1, 12)
-    s1lo = starts1 - s1hi * _START_BASE
-    gtab1 = jnp.concatenate(
-        [s1hi.astype(f32)[:, None], s1lo.astype(f32)[:, None],
-         rtab[:, 1:], g_order.astype(f32)[:, None]], axis=1)  # (N, 16)
-    # The gather lands BLOCKED — (R/128, F, 128) — so only the exact
-    # storage materializes. A row-major (R, F) f32 intermediate would be
-    # lane-padded to (R, 128) by the TPU tiled layout: 8x footprint, a
-    # 16 GB OOM at capacity 2^25 (gather + reshape + transpose fuse into
-    # one blocked-output kernel; same trick as the kernels' chunk-blocked
-    # entry wire, api._block_entries).
-    F1 = gtab1.shape[1]
-    grec1 = gtab1[ridx].reshape(-1, _GB, F1).transpose(0, 2, 1)
-    c1 = lambda c: grec1[:, c, :]                          # (R/GB, GB)
-    # cols: 0 s1hi, 1 s1lo, 2 ty0, 3 tx0, 4 tx1, 5 cx, 6 cy, 7 r2m,
-    #       8 quu, 9 quv, 10 gu, 11 alf, 12 bet, 13 gam, 14 cond, 15 gid
+    start1_pp = jax.lax.cummax(
+        jnp.zeros((R_cap,), jnp.int32).at[seg_src1].max(
+            starts1, mode="drop"))
+    flag1 = jnp.zeros((R_cap,), bool).at[seg_src1].set(True, mode="drop")
+
+    def scat1(colv):
+        return jnp.zeros((R_cap,), colv.dtype).at[seg_src1].set(
+            colv, mode="drop")
+
+    # rtab cols (depth order): 0 counts, 1 ty0, 2 tx0, 3 tx1, 4 cx,
+    # 5 cy, 6 r2m, 7 quu, 8 quv, 9 gu, 10 alf, 11 bet, 12 gam, 13 margf
+    fcols = _ffill_k(flag1, *[scat1(rtab[:, i]) for i in range(1, 14)],
+                     scat1(g_order.astype(f32)))
+    c1 = lambda c: fcols[c - 1].reshape(-1, _GB)           # (R/GB, GB)
+    # c1 index == rtab col: 1 ty0, 2 tx0, 3 tx1, 4 cx, 5 cy, 6 r2m,
+    # 7 quu, 8 quv, 9 gu, 10 alf, 11 bet, 12 gam, 13 margf; 14 = gid
     pos1b = pos1.reshape(-1, _GB)
-    k1 = pos1b - (c1(0).astype(jnp.int32) * _START_BASE
-                  + c1(1).astype(jnp.int32))
-    ty = c1(2).astype(jnp.int32) + k1                      # tile row
-    g_tx0 = c1(3).astype(jnp.int32)
-    g_tx1 = c1(4).astype(jnp.int32)
-    cxg, cyg = c1(5), c1(6)
+    k1 = pos1b - start1_pp.reshape(-1, _GB)
+    ty = c1(1).astype(jnp.int32) + k1                      # tile row
+    g_tx0 = c1(2).astype(jnp.int32)
+    g_tx1 = c1(3).astype(jnp.int32)
+    cxg, cyg = c1(4), c1(5)
     row_ok = pos1b < totalR
 
     # Conservative per-row x-interval of the splat's support. The strip
@@ -389,27 +383,37 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     yb = jnp.minimum(ya + (TILE_H - 1), height - 1.0)
     va = ya - cyg
     vb = yb - cyg
-    condg = c1(14) > 0.5
-    quug = jnp.where(condg, c1(8), 1.0)
-    quvg, gug = c1(9), c1(10)
-    alfg = jnp.where(condg, c1(11), -1.0)
-    betg, gamg = c1(12), c1(13)
-    vhat = jnp.clip(-betg / alfg, va, vb)
-    disc = (alfg * vhat + 2.0 * betg) * vhat + gamg
-    # absolute inflation ~1000x f32 eps of the evaluation magnitudes:
-    # rounding can then only widen the chord, never drop a contributor
-    disc = disc + 1e-4 * (jnp.abs(alfg) * vhat * vhat
-                          + 2.0 * jnp.abs(betg) * jnp.abs(vhat)
-                          + jnp.abs(gamg))
+    margfg = c1(13)
+    condg = margfg > 0.0
+    quug = jnp.where(condg, c1(7), 1.0)
+    quvg, gug = c1(8), c1(9)
+    alfg = c1(10)
+    betg, gamg = c1(11), c1(12)
+
+    def _disc(v):
+        # absolute inflation ~1000x f32 eps of the evaluation
+        # magnitudes: rounding can only widen the chord, never drop a
+        # contributing tile
+        d = (alfg * v + 2.0 * betg) * v + gamg
+        return d + 1e-4 * (jnp.abs(alfg) * v * v
+                           + 2.0 * jnp.abs(betg) * jnp.abs(v)
+                           + jnp.abs(gamg))
+
+    # strip max of the concave/convex discriminant: endpoints always,
+    # plus the clamped vertex when concave (alf < 0, the elliptic case)
+    alf_safe = jnp.where(alfg < 0.0, alfg, -1.0)
+    vhat = jnp.clip(-betg / alf_safe, va, vb)
+    disc = jnp.maximum(jnp.maximum(_disc(va), _disc(vb)),
+                       jnp.where(alfg < 0.0, _disc(vhat), -jnp.inf))
     cne = condg & (disc >= 0.0)
     half = jnp.sqrt(jnp.maximum(disc, 0.0)) / quug
     ca = -(quvg * va + gug) / quug
     cb = -(quvg * vb + gug) / quug
     ulo_c = jnp.minimum(ca, cb) - half
     uhi_c = jnp.maximum(ca, cb) + half
-    marg = 1e-3 * (jnp.abs(ulo_c) + jnp.abs(uhi_c)) + 2.0
+    marg = margfg * (jnp.abs(ulo_c) + jnp.abs(uhi_c)) + 2.0
     ulo_c, uhi_c = ulo_c - marg, uhi_c + marg
-    rf2 = c1(7) * (1.0 / FILTER_INV_SQUARE)
+    rf2 = c1(6) * (1.0 / FILTER_INV_SQUARE)
     dyf = jnp.maximum(jnp.maximum(va, -vb), 0.0)
     fne = condg & (dyf * dyf <= rf2)
     fhalf = jnp.sqrt(jnp.maximum(rf2 - dyf * dyf, 0.0)) + 1.0
@@ -426,7 +430,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     jx1 = jnp.where(condg, jx1, g_tx1)
     cnt2 = jnp.where(row_ok, jx1 - jx0, 0)
     trow = ty * _TROW_BASE + jx0             # packed (row, x0) < 2^24
-    gidrow = c1(F1 - 1).astype(jnp.int32)
+    gidrow = c1(14).astype(jnp.int32)
 
     # ---- level 2: expand rows into (gaussian, tile) pairs -------------
     # Gather-free: a per-pair row-gather would need an R-sized row-major
@@ -451,7 +455,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         trow.reshape(-1), mode="drop")
     gid0 = jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].set(
         gidrow.reshape(-1), mode="drop")
-    trow_pp, gid_pp = _ffill2(flag0, trow0, gid0)
+    trow_pp, gid_pp = _ffill_k(flag0, trow0, gid0)
 
     pos2 = jnp.arange(pairs_capacity, dtype=jnp.int32)
     k2 = pos2 - start_pp
