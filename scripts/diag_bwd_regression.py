@@ -140,9 +140,9 @@ def main():
     print(f"pairs {int(bins.num_pairs)} padded {int(bins.padded_total)} "
           f"cap {cap} fin {fin_cap}", flush=True)
 
-    packed = jax.jit(pack_entries)(pre)
-    to_entries = jax.jit(lambda p, g: p[g].reshape(
-        -1, CHUNK, p.shape[1]).transpose(0, 2, 1))
+    from gs2d_tpu.ops.rasterize.api import _wire_entries
+    packed = jax.jit(pack_entries)(pre)          # (ENTRY_F, N)
+    to_entries = jax.jit(_wire_entries)
 
     entries0 = to_entries(packed, jnp.asarray(gid0))
     out0 = time_kernels(entries0, bins.tile_start, bins.tile_count,

@@ -25,7 +25,13 @@ N = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20
 T = 4080
 
 
+_RUN_IDX = [0]
+
+
 def run(name, fn, state, n=8):
+    _RUN_IDX[0] += 1
+    if _RUN_IDX[0] <= int(os.environ.get("PRIMS_SKIP", "0")):
+        return 0.0
     f = jax.jit(fn)
     dt, _ = timed_loop(f, state, n=n)
     print(json.dumps({"op": name, "ms": round(dt * 1e3, 3)}), flush=True)
@@ -37,6 +43,7 @@ def chain(val, x):
 
 
 def main():
+    skip = int(os.environ.get("PRIMS_SKIP", "0"))
     rng = np.random.default_rng(0)
     idxP_N = jnp.asarray(rng.integers(0, N, P, dtype=np.int32))   # P->N ids
     idxP_P = jnp.asarray(rng.integers(0, P, P, dtype=np.int32))   # P->P perm-ish
@@ -46,7 +53,6 @@ def main():
     fN = jnp.asarray(rng.normal(size=N).astype(np.float32))
     fT = jnp.asarray(rng.normal(size=T).astype(np.float32))
     rowsN = jnp.asarray(rng.normal(size=(N, 16)).astype(np.float32))
-    rowsP22 = jnp.asarray(rng.normal(size=(P, 22)).astype(np.float32))
     keyP = jnp.sort(idxP_T)  # nearly-sorted tile-like keys
     i32P = idxP_T
 
@@ -66,8 +72,6 @@ def main():
         jnp.sum(rowsN[idxP_N][::997, ::3]), x), fP)
     run("rowscatter_N_into_(P,16)", lambda x: chain(
         jnp.sum(jnp.zeros((P, 16), jnp.float32).at[idxN_P].set(rowsN)[::2011, ::5]), x), fP)
-    run("rowscatter_P_into_(P,22)", lambda x: chain(
-        jnp.sum(jnp.zeros((P, 22), jnp.float32).at[idxP_P].set(rowsP22)[::2011, ::5]), x), fP)
 
     # --- 1-D scatters ----------------------------------------------------
     run("scatter1d_N_into_P", lambda x: chain(
@@ -102,7 +106,7 @@ def main():
     R = P // 2
     mat = jnp.ones((R // 128, 128), jnp.float32)
     def cums_mat(x):
-        m = jnp.broadcast_to(fP[:R].reshape(-1, 128)[:, :1], (R, 60))
+        m = jnp.broadcast_to(fP[:R][:, None], (R, 60))
         c = jnp.cumsum(m, axis=0)
         return chain(jnp.sum(c[::997, ::7]), x)
     run("cumsum_(R,60)_axis0", cums_mat, fP)
