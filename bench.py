@@ -100,9 +100,10 @@ def measure(scene, width, height, n_iters, interpret=False):
     pre = jax.jit(lambda m, s, q, o, c: preprocess(
         m, s, q, o, cam.world_view, cam.full_proj, cam.campos, width, height,
         colors=c))(means, scales, quats, opac, rgb)
-    cap, fin_cap = suggest_capacities(pre, width, height)
+    cap, fin_cap, rows_cap = suggest_capacities(pre, width, height)
     cfg = RasterizeConfig(width=width, height=height, pairs_capacity=cap,
-                          final_capacity=fin_cap, interpret=interpret)
+                          final_capacity=fin_cap, rows_capacity=rows_cap,
+                          interpret=interpret)
     cot = jnp.ones((15, height, width), jnp.float32)
 
     def loss(m, s, q, o, c):

@@ -38,20 +38,21 @@ class RasterizeConfig:
     # scales with this smaller knob.
     final_capacity: Optional[int] = None
     cull: bool = True         # conservative interval cull in binning
+    # level-1 (gaussian, tile-row) bookkeeping capacity. None →
+    # pairs_capacity. Rows are typically ~2x fewer than pairs and every
+    # scatter into the row space costs ~9 ns per slot on v5e — probe-size
+    # it (suggest_capacities).
+    rows_capacity: Optional[int] = None
 
 
 def pack_entries(pre: PreprocessOut) -> jnp.ndarray:
-    """Per-Gaussian kernel record, COLUMN-major: (ENTRY_F, N), rows per
-    common.py FLD_*. Column-major matters twice: each field is a
-    contiguous (N,) row (no 24→128 lane padding — a row-major (N, 24)
-    table is physically (N, 128), 5.3x the footprint and traffic), and
-    the wire builder's per-field 1-D gathers read it at streaming rate."""
+    """Per-Gaussian kernel record, layout per common.py FLD_*: (N, 24)."""
     return jnp.concatenate(
         [
-            pre.A.T, pre.B.T, pre.C.T, pre.c2.T, pre.center2d.T,
-            pre.opacity[None, :], pre.rgb.T, pre.normal.T, pre.noise.T,
+            pre.A, pre.B, pre.C, pre.c2, pre.center2d,
+            pre.opacity[:, None], pre.rgb, pre.normal, pre.noise,
         ],
-        axis=0,
+        axis=-1,
     )
 
 
@@ -94,36 +95,37 @@ _gather_barrier.defvjp(_gather_barrier_fwd, _gather_barrier_bwd)
 # endpoint row-gathers, ~25 ms).
 # ---------------------------------------------------------------------------
 
-def _segment_sum_col(x: jnp.ndarray, seg_start: jnp.ndarray,
-                     seg_end: jnp.ndarray) -> jnp.ndarray:
-    """Per-segment sums of one contiguous column: Σ_{p∈[s_i,e_i)} x[p].
+def _segment_sum_rows(d_pairs: jnp.ndarray, seg_start: jnp.ndarray,
+                      seg_end: jnp.ndarray) -> jnp.ndarray:
+    """Per-segment sums of contiguous rows: Σ_{p∈[s_i,e_i)} d_pairs[p].
 
-    128-slot blocks: in-block inclusive prefixes via ONE (P/128, 128) @
-    (128, 128) triangular matmul on the MXU + a cumsum over block totals.
-    The in-block and block-level parts are DIFFERENCED SEPARATELY — a
-    single global prefix difference carries cancellation error
-    ~ulp(global magnitude), while here segments inside one block are
-    exact and multi-block segments only see block-cumsum rounding."""
-    P = x.shape[0]
+    128-row blocks: in-block inclusive prefixes via one batched triangular
+    matmul on the MXU + a cumsum over block totals. The in-block and
+    block-level parts are DIFFERENCED SEPARATELY — a single global prefix
+    difference carries cancellation error ~ulp(global magnitude), while
+    here segments inside one block are exact and multi-block segments only
+    see block-cumsum rounding."""
+    P, C = d_pairs.shape
+    x = d_pairs
     if P % 128:
         x = jnp.concatenate(
-            [x, jnp.zeros((128 - P % 128,), x.dtype)], 0)
-    xb = x.reshape(-1, 128)
+            [x, jnp.zeros((128 - P % 128, C), x.dtype)], 0)
+    B = x.shape[0] // 128
+    xb = x.reshape(B, 128, C)
     tri = jnp.tril(jnp.ones((128, 128), x.dtype))
-    # pref[b, i] = Σ_{j<=i} xb[b, j]
-    pref = jax.lax.dot_general(
-        xb, tri, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)
-    flat_pref = pref.reshape(-1)
-    csum = jnp.cumsum(pref[:, -1])                     # (B,) inclusive
+    pref = jnp.einsum("ij,bjc->bic", tri, xb,
+                      precision=jax.lax.Precision.HIGHEST)
+    flat_pref = pref.reshape(-1, C)                    # (B*128, C) in-block
+    csum = jnp.cumsum(pref[:, -1, :], axis=0)          # (B, C) inclusive
 
     def at(idx):
         """(in-block prefix, block offset) just BEFORE position idx."""
         j = jnp.maximum(idx - 1, 0)
         b = j // 128
-        nonzero = idx > 0
+        nonzero = (idx > 0)[:, None]
         inp = jnp.where(nonzero, flat_pref[j], 0.0)
-        off = jnp.where(nonzero & (b > 0), csum[jnp.maximum(b - 1, 0)], 0.0)
+        off = jnp.where(nonzero & (b > 0)[:, None],
+                        csum[jnp.maximum(b - 1, 0)], 0.0)
         return inp, off
 
     inp_e, off_e = at(seg_end)
@@ -131,21 +133,26 @@ def _segment_sum_col(x: jnp.ndarray, seg_start: jnp.ndarray,
     return (inp_e - inp_s) + (off_e - off_s)
 
 
-def _wire_entries(packed, gid):
-    """(F, N) column-major table + (P,) slot→Gaussian ids → (F, P) wire.
+def _block_entries(packed, gid, chunk):
+    """(N, F) table + (P,) slot→Gaussian ids → (P/chunk, F, chunk) wire.
 
-    F independent 1-D gathers (~1.7 ms each at 5M slots on v5e,
-    profile_prims) replace the former P-sized row gather (~20 ns/row ≈
-    120 ms at the same scale): TPU 1-D gathers stream, multi-column row
-    gathers pay a per-row toll. The stacked (F, P) result is exactly the
-    kernels' strided-slice DMA layout — no blocking transpose."""
-    return jnp.stack([packed[i][gid] for i in range(packed.shape[0])])
+    The row gather is XLA's; the blocked transpose turns its lane-padded
+    (P, F) output into the kernels' exact-storage wire format (Mosaic
+    rejects HBM DMA slices with a non-128 minor dim, and a (P, F) HBM
+    buffer is physically (P, 128) — 5.3x footprint)."""
+    rows = packed[gid]                                    # (P, F)
+    return rows.reshape(-1, chunk, rows.shape[1]).transpose(0, 2, 1)
+
+
+def _unblock_rows(blocked):
+    """(P/chunk, F, chunk) kernel output → (P, F) rows for the glue."""
+    return blocked.transpose(0, 2, 1).reshape(-1, blocked.shape[1])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _core(cfg: RasterizeConfig, packed, gid, inv, seg_start, seg_end,
           order, tile_start, tile_count):
-    entries = _wire_entries(packed, gid)
+    entries = _block_entries(packed, gid, cfg.chunk)
     out, _ = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
@@ -155,7 +162,7 @@ def _core(cfg: RasterizeConfig, packed, gid, inv, seg_start, seg_end,
 
 def _core_fwd(cfg, packed, gid, inv, seg_start, seg_end, order,
               tile_start, tile_count):
-    entries = _wire_entries(packed, gid)
+    entries = _block_entries(packed, gid, cfg.chunk)
     out, med_idx = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
@@ -169,33 +176,27 @@ def _core_bwd(cfg, res, g):
 
     (entries, inv, seg_start, seg_end, order, tile_start, tile_count,
      out, med_idx) = res
-    P_alloc = entries.shape[1]
+    P_alloc = entries.shape[0] * cfg.chunk
     N = order.shape[0]
-    d_wire = rasterize_bwd_pallas(
+    d_blk = rasterize_bwd_pallas(
         entries, tile_start, tile_count, out, g, med_idx,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
-        interpret=cfg.interpret)          # (DENTRY_F, P) column-major
-    # slot order → COMPACT culled-expansion order, PER COLUMN: 1-D
-    # gathers stream on TPU where the former (P, 22) row gather paid
-    # ~20 ns/row (profile_prims). Dropped pairs contribute zero; padding
-    # slots — including never-DMA-written ones — are simply never
-    # gathered. Each column then segment-sums to depth order and one
-    # cheap N-sized gather returns it to original-Gaussian order.
+        interpret=cfg.interpret)          # (P/chunk, DENTRY_F, chunk) blocks
+    d_raw = _unblock_rows(d_blk)                    # (P, DENTRY_F=22) rows
+    # slot order → COMPACT culled-expansion order (same final-capacity
+    # size as the slots; dropped pairs contribute zero; padding slots —
+    # including never-DMA-written ones — are simply never gathered)
     ok = inv < P_alloc
-    inv_c = jnp.where(ok, inv, 0)
-    okf = ok.astype(d_wire.dtype)
-    iord = jnp.zeros((N,), jnp.int32).at[order].set(
-        jnp.arange(N, dtype=jnp.int32))          # original → depth position
-    cols = []
-    for i in range(d_wire.shape[0]):
-        dp = d_wire[i][inv_c] * okf
-        ds = _segment_sum_col(dp, seg_start, seg_end)        # (N,) depth
-        cols.append(ds[iord])                                # original
-    # Widen to the packed-entry layout only at N-size: the center rows'
+    d_pairs = d_raw[jnp.where(ok, inv, 0)]
+    d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
+    d_sorted = _segment_sum_rows(d_pairs, seg_start, seg_end)  # (N, 22)
+    # Widen to the packed-entry layout only at N-size: the center columns'
     # gradient is identically zero (common.py DENTRY_F), so the wire, the
-    # per-column gathers, and the segment sums all stay 22 rows.
-    zero = jnp.zeros((N,), d_wire.dtype)
-    d_packed = jnp.stack(cols[:12] + [zero, zero] + cols[12:])  # (ENTRY_F, N)
+    # P-sized gather, and the segment sum all stay 22 columns.
+    zero2 = jnp.zeros((N, 2), d_raw.dtype)
+    d_sorted = jnp.concatenate(
+        [d_sorted[:, :12], zero2, d_sorted[:, 12:]], axis=1)   # (N, 24)
+    d_packed = jnp.zeros((N, ENTRY_F), d_raw.dtype).at[order].set(d_sorted)
     return d_packed, None, None, None, None, None, None, None
 
 
@@ -218,7 +219,8 @@ def suggest_capacities(pre: PreprocessOut, width: int, height: int,
                        probe_capacity: int = 1 << 22,
                        cull: bool = True) -> tuple:
     """One probe binning at a generous capacity → tight, chunk-aligned
-    ``(pairs_capacity, final_capacity)`` for this scene/view. Every
+    ``(pairs_capacity, final_capacity, rows_capacity)`` for this
+    scene/view. Every
     capacity-proportional cost (the tile-key sort and expansion
     bookkeeping scale with the first; the expansion gather, kernel
     streams, and backward d_entries with the second) shrinks with them —
@@ -255,13 +257,15 @@ def suggest_capacities(pre: PreprocessOut, width: int, height: int,
             f"pair demand still exceeds probe capacity {probe_capacity}")
     exp_need = int(bins.num_expanded)
     fin_need = int(bins.padded_total)
+    rows_need = int(bins.num_rows)
     exp_cap = max(pad_to(int(exp_need * slack), chunk), chunk)
     fin_cap = max(pad_to(int(fin_need * slack), chunk), chunk)
     fin_cap = min(fin_cap, MAX_PAIRS_CAPACITY)
     # the expansion capacity must also satisfy the blocked attribute
     # gather's 128-lane alignment (binning._GB) even for small chunks
     cap = min(pad_to(max(exp_cap, fin_cap), 128), MAX_PAIRS_CAPACITY)
-    return cap, fin_cap
+    rows_cap = min(pad_to(max(int(rows_need * slack), 128), 128), cap)
+    return cap, fin_cap, rows_cap
 
 
 def suggest_pairs_capacity(pre: PreprocessOut, width: int, height: int,
@@ -283,23 +287,24 @@ def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
         out = rasterize_oracle(pre, cfg.width, cfg.height)
         return out, {"num_pairs": jnp.int32(-1), "overflow": jnp.bool_(False),
                     "padded_total": jnp.int32(-1),
-                    "num_expanded": jnp.int32(-1)}
+                    "num_expanded": jnp.int32(-1),
+                    "num_rows": jnp.int32(-1)}
 
     bins: BinningOut = bin_gaussians(
         pre.center2d, pre.extent, pre.depth, pre.visible,
         cfg.width, cfg.height, cfg.pairs_capacity, cfg.chunk,
         cull_abc=(pre.A, pre.B, pre.C) if cfg.cull else None,
         rho2max=pre.rho2max if cfg.cull else None,
-        final_capacity=cfg.final_capacity)
-    packed = pack_entries(pre)                # (ENTRY_F, N) differentiable
-    # Zero any record carrying a non-finite value (binning deliberately
-    # keeps such pairs): a zero record has p2 == 0 ⇒ the kernels cull it
-    # exactly as NaN-comparison semantics used to, and its gradient is
-    # zero. This must happen before the wire gathers — the in-kernel MXU
-    # identity transpose would otherwise spread one Inf·0 = NaN across
-    # its whole chunk. N-sized, so the pass is free next to the P-sized
-    # gathers.
-    finite = jnp.isfinite(packed).all(axis=0, keepdims=True)
+        final_capacity=cfg.final_capacity,
+        rows_capacity=cfg.rows_capacity)
+    packed = pack_entries(pre)                       # (N, 24) differentiable
+    # Zero any row carrying a non-finite value (binning deliberately keeps
+    # such pairs): a zero row has p2 == 0 ⇒ the kernels cull it exactly as
+    # NaN-comparison semantics used to, and its gradient is zero. This must
+    # happen before the wire blocking — the in-kernel MXU identity
+    # transpose would otherwise spread one Inf·0 = NaN across its whole
+    # chunk. N-sized, so the pass is free next to the P-sized gather.
+    finite = jnp.isfinite(packed).all(axis=1, keepdims=True)
     packed = jnp.where(finite, packed, 0.0)
     # Materialize the packed records before the big expansion gather —
     # without the barrier XLA fuses the per-Gaussian preprocess math into
@@ -312,4 +317,5 @@ def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
     out = untile(out_tiles, cfg.width, cfg.height)
     return out, {"num_pairs": bins.num_pairs, "overflow": bins.overflow,
                  "padded_total": bins.padded_total,
-                 "num_expanded": bins.num_expanded}
+                 "num_expanded": bins.num_expanded,
+                 "num_rows": bins.num_rows}

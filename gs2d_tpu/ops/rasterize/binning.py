@@ -12,25 +12,42 @@ step 2) with a TPU-friendly fixed-capacity pipeline:
    chord over the row's y-strip, inflated so f32 slop only ADDS tiles)
    — then rows → (gaussian, tile) pairs. Expanding intervals instead of
    full bbox rows cuts pair demand ~6x at trained 1080p scale (26.7M
-   bbox pairs vs ~4.3M contributing at 1M splats). Ownership rides
-   scatter + running-max scans; level-2 row attributes ride a
+   bbox pairs vs ~4.3M contributing at 1M splats). The intervals are
+   computed in N-SPACE as packed (N, K_ENT) tables of strided strip
+   entries (entry k covers tile rows [k*s, (k+1)*s), s = ceil(rh/K) —
+   per-row exact for the common rh <= K splat, graceful strips for the
+   big-splat tail that dominates pair demand), so entry space
+   forward-fills only TWO columns (ty0, gid) and gathers the packed
+   count/decode values in two shots (every 1-D scatter costs ~9 ns per
+   update on v5e; the former design scattered 14 attribute columns).
+   Level 1 lives in a ROWS_CAPACITY-sized space (its own, smaller knob,
+   sized to true demand). Ownership rides scatter + running-max scans —
+   the segment-start flag is DERIVED from the cummax (start ==
+   position), not scattered; the remaining entry attributes ride a
    forward-fill associative scan (gather-free: any capacity-sized
    row-major gather operand would lane-pad to 128, a 16 GB OOM);
-4. survivors are compacted, then ONE stable sort on the tile key —
-   entries arrive depth-ordered, so the stable sort leaves every tile's
-   list depth-ordered (the CUDA 64-bit (tile|depth) radix sort
-   collapses to a single 32-bit key sort at final capacity);
+4. ONE stable sort on the tile key over the expansion space — entries
+   arrive depth-ordered, so the stable sort leaves every tile's list
+   depth-ordered (the CUDA 64-bit (tile|depth) radix sort collapses to
+   a single 32-bit key sort; measured ~14 ms for 3 operands at 5.5M on
+   v5e — the sort is NOT the expensive part, the scatters around it
+   are, so there is no pre-sort compaction pass);
 5. per-tile ranges with CHUNK-aligned starts, so the Pallas kernels can DMA
    whole chunks without ever touching a neighboring tile's slots (TPU has
-   no atomics and no masked DMA — alignment replaces both).
+   no atomics and no masked DMA — alignment replaces both). Tile range
+   lookups use a hand-rolled vectorized binary search (T=#tiles queries)
+   — jnp.searchsorted lowers to full-capacity SORTS on TPU (~8-10 ms
+   each; the whole trace showed ~70 ms of them).
 
-Performance notes (measured on v5e): 1-D gathers/searchsorted with ~2M
-queries are pathologically slow on TPU (a 17-step binary search of 2M
-queries ≈ 250 ms; five separate 1-D table gathers ≈ 70 ms), while ROW
-gathers of packed multi-column records are access-granularity bound —
-BUT their row-major operands/outputs lane-pad to 128 on TPU, so every
-capacity-sized record stream here is either blocked (gather + reshape +
-transpose fused to exact storage) or scan-reconstructed.
+Performance notes (measured on v5e, op-level trace at 1M splats/1080p):
+1-D scatters cost ~9 ns per update-array slot and 1-D gathers ~7 ns per
+query — at multi-million capacities EVERY scatter/gather is tens of ms,
+and they dominate binning (the sort is ~14 ms, the forward-fill ~2 ms).
+The design rules that follow: size every bookkeeping array to its true
+demand (rows vs pairs), never scatter what a scan can derive (segment
+flags from cummax), and keep attribute distribution on the smaller side
+(N-sized scatters, not R-sized gathers). ROW gathers of multi-column
+records pay ~20 ns/row AND lane-pad their operands to 128.
 
 Everything here is integer bookkeeping wrapped in stop_gradient by callers.
 """
@@ -51,8 +68,22 @@ from .common import FILTER_INV_SQUARE, TILE_H, TILE_W, cdiv
 MAX_PAIRS_CAPACITY = 1 << 25
 MAX_GAUSSIANS = 1 << 24
 _GB = 128           # lane width of the forward-fill blocking
-_TROW_SHIFT = 11    # (tile row, first tile x) packed as row*2048 + x0,
-_TROW_BASE = 1 << _TROW_SHIFT  # exact in int32/f32 up to 32k-wide screens
+# Per-Gaussian interval tables carry K_ENT strided entries: entry k of a
+# splat with rh tile rows covers rows [k*s, (k+1)*s) with s = ceil(rh/K)
+# and ONE conservative x-interval (the widest conic chord over the whole
+# multi-row strip). Splats with rh <= K get exact per-row intervals
+# (s = 1, the common case: mean tile-row count at trained 1080p scale is
+# ~2.4); taller splats get K strips whose union over-covers their
+# support by only ~s/rh — crucially NOT the full bbox (pair demand is
+# dominated by the big-splat tail: a bbox fallback for rh > K re-inflated
+# demand 5x at the 1M-splat probe).
+K_ENT = 16
+# Level-2 decode pack (int32): entry value = ty_off*2^20 + jx0*2^10 + w.
+_DEC_W_BITS = 10     # strip x-interval width in tiles   (ntx <= 1023)
+_DEC_X_BITS = 10     # interval start tile x             (ntx <= 1023)
+_DEC_W_BASE = 1 << _DEC_W_BITS
+_DEC_X_BASE = 1 << _DEC_X_BITS
+_DEC_TY_MAX = (1 << (31 - _DEC_W_BITS - _DEC_X_BITS)) - 1   # nty <= 2047
 
 
 class BinningOut(NamedTuple):
@@ -63,18 +94,21 @@ class BinningOut(NamedTuple):
     num_pairs: jnp.ndarray   # () int32 surviving pairs (post-cull, pre-clamp)
     padded_total: jnp.ndarray  # () int32 chunk-padded slot need (true demand)
     overflow: jnp.ndarray    # () bool — capacity exceeded, tails dropped
-    # Gradient-reduction side tables in COMPACT coordinates: the culled
-    # expansion order (surviving pairs packed densely, still grouped
-    # contiguously per depth-sorted Gaussian) → binned slot. The gather
-    # VJP reduces per-Gaussian gradients with contiguous segment sums
-    # instead of a scatter-add (which collapses to ~0.3 G adds/s once the
-    # accumulator exceeds VMEM); compact sizing keeps those stages at
-    # final_capacity, not the ~2x larger bbox-expansion capacity.
-    inv: jnp.ndarray          # (P_fin,) int32 compact pair → slot (P_fin if dropped)
-    seg_start: jnp.ndarray    # (N,) int32 compact segment start, clamped
-    seg_end: jnp.ndarray      # (N,) int32 compact segment end, clamped
+    # Gradient-reduction side tables in EXPANSION coordinates (pairs
+    # grouped contiguously per depth-sorted Gaussian): expansion pair →
+    # binned slot. The gather VJP reduces per-Gaussian gradients with
+    # contiguous segment sums instead of a scatter-add (which collapses
+    # to ~0.3 G adds/s once the accumulator exceeds VMEM). The interval
+    # expansion is tight enough (~1.1x the kept pairs) that a separate
+    # compacted coordinate system stopped paying for its two extra
+    # capacity-sized scatters (~9 ns/slot each on v5e).
+    inv: jnp.ndarray          # (pairs_capacity,) int32 expansion pair → slot
+                              #   (P_fin if dropped/invalid)
+    seg_start: jnp.ndarray    # (N,) int32 expansion segment start, clamped
+    seg_end: jnp.ndarray      # (N,) int32 expansion segment end, clamped
     order: jnp.ndarray        # (N,) int32 depth-sorted → original Gaussian id
-    num_expanded: jnp.ndarray  # () int32 pre-cull expansion pair demand
+    num_expanded: jnp.ndarray  # () int32 expansion pair demand
+    num_rows: jnp.ndarray     # () int32 level-1 strip-entry demand
 
 
 def alloc_size(pairs_capacity: int) -> int:
@@ -127,6 +161,32 @@ def _ffill_k(flag: jnp.ndarray, *vals: jnp.ndarray):
     vs = [jnp.where(take, jnp.pad(c, (1, 0))[:Bn][:, None], v)
           for v, c in zip(vs, cs)]
     return [v.reshape(-1) for v in vs]
+
+
+
+def _bsearch_i32(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
+                 side: str) -> jnp.ndarray:
+    """Vectorized binary search: first index where sorted_keys[i] >= q
+    (side="left") / > q (side="right"). jnp.searchsorted lowers to
+    full-array SORTS on TPU (~8-10 ms each at 5.5M); with few queries
+    (#tiles) this loop of ~23 tiny gathers runs in ~1 ms."""
+    n = sorted_keys.shape[0]
+    steps = max(1, (n - 1).bit_length()) if n > 1 else 1
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, n, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        kv = sorted_keys[jnp.minimum(mid, n - 1)]
+        go_right = (kv < queries) if side == "left" else (kv <= queries)
+        new_lo = jnp.where(active & go_right, mid + 1, lo)
+        new_hi = jnp.where(active & ~go_right, mid, hi)
+        return new_lo, new_hi
+
+    lo, hi = jax.lax.fori_loop(0, steps + 1, body, (lo, hi))
+    return lo
 
 
 def _pair_contributes(col, tx: jnp.ndarray, ty: jnp.ndarray,
@@ -225,18 +285,23 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
                   pairs_capacity: int, chunk: int,
                   cull_abc: tuple = None,
                   rho2max: jnp.ndarray = None,
-                  final_capacity: int = None) -> BinningOut:
+                  final_capacity: int = None,
+                  rows_capacity: int = None) -> BinningOut:
     """Bin Gaussians into per-tile depth-ordered slot lists.
 
     When ``cull_abc=(A, B, C)``/``rho2max`` (from preprocess) are given,
-    each Gaussian expands only the tiles inside a conservative per-row
-    x-interval of its support (widest conic chord over the row's
-    y-strip plus the low-pass filter chord, inflated so f32 slop can
-    only add tiles — tests/test_cull.py proves the superset property
-    against the exact per-tile oracle ``_pair_contributes``). Without
-    them every row expands its full bbox width. The final slot arrays
-    may be allocated tighter via ``final_capacity`` (expansion
-    bookkeeping stays at ``pairs_capacity``).
+    each Gaussian expands only the tiles inside a conservative
+    per-strip-entry x-interval of its support (widest conic chord over
+    the strip's y-range plus the low-pass filter chord, inflated so f32
+    slop can only add tiles — tests/test_cull.py proves the superset
+    property against the exact per-tile oracle ``_pair_contributes``).
+    Without them every entry expands its full bbox width. The final
+    slot arrays may be allocated tighter via ``final_capacity``
+    (expansion bookkeeping stays at ``pairs_capacity``).
+    ``rows_capacity`` sizes the level-1 (gaussian, strip-entry) space —
+    typically much smaller than the pair space; every scatter into it
+    costs ~9 ns per slot on v5e, so callers should probe-size it
+    (suggest_capacities).
     """
     N = center2d.shape[0]
     ntx = cdiv(width, TILE_W)
@@ -254,10 +319,13 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         raise ValueError("exact pair bookkeeping requires pairs_capacity "
                          "<= 2^25 and N <= 2^24 "
                          "(growth paths must clamp to MAX_PAIRS_CAPACITY)")
-    if pairs_capacity % _GB:
+    R_cap = rows_capacity or pairs_capacity
+    if pairs_capacity % _GB or R_cap % _GB:
         raise ValueError(
-            f"pairs_capacity must be a multiple of {_GB} (the blocked "
-            "attribute-gather lane width)")
+            f"pairs/rows capacities must be multiples of {_GB} (the "
+            "blocked forward-fill lane width)")
+    if R_cap > MAX_PAIRS_CAPACITY:
+        raise ValueError("rows_capacity exceeds the bookkeeping ceiling")
 
     depth_key = jnp.where(visible, depth, jnp.inf)
     g_order = jnp.argsort(depth_key, stable=True)          # (N,) front→back
@@ -276,8 +344,19 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     ty1 = jnp.clip((jnp.floor((cy0 + ey0) / TILE_H) + 1).astype(jnp.int32),
                    0, nty)
     rh0 = jnp.maximum(ty1 - ty0, 0)
-    counts0 = jnp.where(visible, rh0, 0)          # LEVEL-1: tile ROWS
+    if ntx >= _DEC_X_BASE or nty > _DEC_TY_MAX:
+        raise ValueError(
+            f"tile grid {ntx}x{nty} exceeds the int32 decode pack "
+            f"(ntx < {_DEC_X_BASE}, nty <= {_DEC_TY_MAX})")
     f32 = jnp.float32
+    # LEVEL-1 expands ENTRIES: ceil(rh/s) strided strips of s tile rows.
+    ks = jnp.arange(K_ENT, dtype=jnp.int32)[None, :]          # (1, K)
+    s0 = (rh0 + (K_ENT - 1)) // K_ENT                         # stride, >=1
+    s0 = jnp.maximum(s0, 1)
+    nE0 = (rh0 + s0 - 1) // s0                                # entries <= K
+    counts0 = jnp.where(visible, nE0, 0)
+    ty_off = ks * s0[:, None]                                 # (N, K)
+    nr = jnp.clip(rh0[:, None] - ty_off, 0, s0[:, None])      # rows/entry
     if cull_abc is not None:
         # Per-Gaussian conic constants in CENTERED screen coordinates
         # (u, v) = (x - cx, y - cy): the splat's per-pixel falloff test
@@ -323,14 +402,90 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         margf = jnp.where(
             cond, 1e-3 + 64.0 * 1.2e-7 * mag_uu / jnp.where(cond, quu, 1.0),
             -1.0)
-        icols = [cx0, cy0, r2m, quu, quv, gu, alf, bet, gam, margf]
+
+        # ---- (N, K_ENT) interval tables, built in N-SPACE -------------
+        # Conservative x-interval of the splat's support per strided
+        # strip (entry k covers tile rows [k*s, k*s+nr)). Moving this
+        # from row space to N-space turns 10 interval-constant scatters
+        # + forward-fills (each ~9 ns per update on v5e) into pure
+        # elementwise math plus TWO packed-table gathers in entry space.
+        #
+        # The strip is its rows' pixel-center y-range in centered
+        # coords; the conic interval is [min chord center - widest half,
+        # max + widest half] (chord centers are linear in v, the
+        # discriminant concave), the low-pass filter contributes an
+        # exact circle chord; both are inflated (absolute eps on the
+        # discriminant + 2 px margins) so f32 slop can only ADD tiles,
+        # never drop a contributing one. The kernels' per-pixel test
+        # remains the exact arbiter.
+        ya = ((ty0[:, None] + ty_off) * TILE_H).astype(f32)
+        yb = jnp.minimum(ya + (nr * TILE_H - 1).astype(f32), height - 1.0)
+        va = ya - cy0[:, None]
+        vb = yb - cy0[:, None]
+        alf_b, bet_b, gam_b = alf[:, None], bet[:, None], gam[:, None]
+
+        def _disc(v):
+            # absolute inflation ~1000x f32 eps of the evaluation
+            # magnitudes: rounding can only widen the chord, never drop
+            # a contributing tile
+            d = (alf_b * v + 2.0 * bet_b) * v + gam_b
+            return d + 1e-4 * (jnp.abs(alf_b) * v * v
+                               + 2.0 * jnp.abs(bet_b) * jnp.abs(v)
+                               + jnp.abs(gam_b))
+
+        # strip max of the concave/convex discriminant: endpoints
+        # always, plus the clamped vertex when concave (alf < 0, the
+        # elliptic case)
+        alf_safe = jnp.where(alf < 0.0, alf, -1.0)[:, None]
+        vhat = jnp.clip(-bet_b / alf_safe, va, vb)
+        disc = jnp.maximum(jnp.maximum(_disc(va), _disc(vb)),
+                           jnp.where(alf_b < 0.0, _disc(vhat), -jnp.inf))
+        cne = cond[:, None] & (disc >= 0.0)
+        quu_safe = jnp.where(cond, quu, 1.0)[:, None]
+        half = jnp.sqrt(jnp.maximum(disc, 0.0)) / quu_safe
+        ca = -(quv[:, None] * va + gu[:, None]) / quu_safe
+        cb = -(quv[:, None] * vb + gu[:, None]) / quu_safe
+        ulo_c = jnp.minimum(ca, cb) - half
+        uhi_c = jnp.maximum(ca, cb) + half
+        marg = margf[:, None] * (jnp.abs(ulo_c) + jnp.abs(uhi_c)) + 2.0
+        ulo_c, uhi_c = ulo_c - marg, uhi_c + marg
+        rf2 = (r2m * (1.0 / FILTER_INV_SQUARE))[:, None]
+        dyf = jnp.maximum(jnp.maximum(va, -vb), 0.0)
+        fne = cond[:, None] & (dyf * dyf <= rf2)
+        fhalf = jnp.sqrt(jnp.maximum(rf2 - dyf * dyf, 0.0)) + 1.0
+        big = jnp.float32(1e9)
+        ulo = jnp.minimum(jnp.where(cne, ulo_c, big),
+                          jnp.where(fne, -fhalf, big))
+        uhi = jnp.maximum(jnp.where(cne, uhi_c, -big),
+                          jnp.where(fne, fhalf, -big))
+        jx0k = jnp.clip(
+            jnp.floor((cx0[:, None] + ulo) / TILE_W).astype(jnp.int32),
+            tx0[:, None], tx1[:, None])
+        jx1k = jnp.clip(
+            jnp.floor((cx0[:, None] + uhi) / TILE_W).astype(jnp.int32) + 1,
+            jx0k, tx1[:, None])
+        jx0k = jnp.where(cond[:, None], jx0k, tx0[:, None])  # fallbacks:
+        jx1k = jnp.where(cond[:, None], jx1k, tx1[:, None])  # bbox width
     else:
-        z = jnp.zeros_like(cx0)
-        icols = [cx0, cy0, z, z, z, z, z, z, z, z - 1.0]  # fallback: full
-    cols = [counts0.astype(f32), ty0.astype(f32), tx0.astype(f32),
-            tx1.astype(f32)] + icols
-    rtab = jnp.stack(cols, axis=1)[g_order]                # (N, 14)
-    counts = rtab[:, 0].astype(jnp.int32)                  # rows/gaussian
+        jx0k = jnp.broadcast_to(tx0[:, None], (N, K_ENT))
+        jx1k = jnp.broadcast_to(tx1[:, None], (N, K_ENT))
+    live = nr > 0
+    wk = jnp.where(live, jx1k - jx0k, 0)                  # tiles/entry
+    # Two int32 entry tables: pair count per entry, and the level-2
+    # decode pack (strip FIRST TILE ROW — absolute, ty0 baked in here so
+    # entry space needs no ty0 column at all — interval start, width).
+    tab_cnt = (nr * wk).astype(jnp.int32).reshape(-1)     # (N*K,)
+    tab_dec = ((((ty0[:, None] + ty_off) << (_DEC_X_BITS + _DEC_W_BITS))
+                + (jnp.where(live, jx0k, 0) << _DEC_W_BITS)
+                + wk).astype(jnp.int32).reshape(-1))      # (N*K,)
+
+    # Per-Gaussian pair count, in N-space. EXACTLY equals the sum of the
+    # entry-space per-entry counts (both read the same table), so the
+    # gradient segment bounds below can ride a plain cumsum instead of
+    # two R-sized gathers of the level-2 prefix.
+    cntg = jnp.where(visible, jnp.sum(nr * wk, axis=1), 0)
+
+    counts = counts0[g_order]                   # entries per gaussian
 
     cumR = jnp.cumsum(counts)                              # inclusive
     totalR = cumR[-1]            # rows <= N*nty < 2^31: cannot wrap
@@ -343,94 +498,36 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     # row on v5e regardless of width — the forward-fill's ~7 elementwise
     # lane-shift passes move the same data at streaming bandwidth. The
     # row-range start itself forward-fills by cummax (starts monotone).
-    R_cap = pairs_capacity
     pos1 = jnp.arange(R_cap, dtype=jnp.int32)
     starts1 = cumR - counts
     seg_src1 = jnp.where(counts > 0, starts1, R_cap)
     start1_pp = jax.lax.cummax(
         jnp.zeros((R_cap,), jnp.int32).at[seg_src1].max(
             starts1, mode="drop"))
-    flag1 = jnp.zeros((R_cap,), bool).at[seg_src1].set(True, mode="drop")
+    # The segment-start flag is DERIVED, not scattered: a slot is a
+    # segment start iff the cummax-filled start equals the position
+    # (slot 0 is always a real start when any row exists — starts are
+    # monotone from 0 — and the invalid tail compares false). Saves one
+    # capacity-sized scatter (~9 ns/slot).
+    flag1 = start1_pp == pos1
 
     def scat1(colv):
         return jnp.zeros((R_cap,), colv.dtype).at[seg_src1].set(
             colv, mode="drop")
 
-    # rtab cols (depth order): 0 counts, 1 ty0, 2 tx0, 3 tx1, 4 cx,
-    # 5 cy, 6 r2m, 7 quu, 8 quv, 9 gu, 10 alf, 11 bet, 12 gam, 13 margf
-    fcols = _ffill_k(flag1, *[scat1(rtab[:, i]) for i in range(1, 14)],
-                     scat1(g_order.astype(f32)))
-    c1 = lambda c: fcols[c - 1].reshape(-1, _GB)           # (R/GB, GB)
-    # c1 index == rtab col: 1 ty0, 2 tx0, 3 tx1, 4 cx, 5 cy, 6 r2m,
-    # 7 quu, 8 quv, 9 gu, 10 alf, 11 bet, 12 gam, 13 margf; 14 = gid
+    # Only ONE attribute column rides the entry-space forward-fill —
+    # the Gaussian id; per-entry counts and decode packs come from TWO
+    # gathers of the N-space tables (built above). Garbage slots past
+    # totalR read a valid id (forward-fill) and mask out via row_ok.
+    (gidf,) = _ffill_k(flag1, scat1(g_order.astype(f32)))
     pos1b = pos1.reshape(-1, _GB)
-    k1 = pos1b - start1_pp.reshape(-1, _GB)
-    ty = c1(1).astype(jnp.int32) + k1                      # tile row
-    g_tx0 = c1(2).astype(jnp.int32)
-    g_tx1 = c1(3).astype(jnp.int32)
-    cxg, cyg = c1(4), c1(5)
+    k1 = pos1b - start1_pp.reshape(-1, _GB)     # entry index within splat
+    gidrow = gidf.reshape(-1, _GB).astype(jnp.int32)
     row_ok = pos1b < totalR
 
-    # Conservative per-row x-interval of the splat's support. The strip
-    # is the row's pixel-center y-range in centered coords; the conic
-    # interval is [min chord center - widest half, max + widest half]
-    # (chord centers are linear in v, the discriminant concave), the
-    # low-pass filter contributes an exact circle chord; both are
-    # inflated (absolute eps on the discriminant + 2 px margins) so f32
-    # slop can only ADD tiles, never drop a contributing one. The
-    # kernels' per-pixel test remains the exact arbiter.
-    ya = (ty * TILE_H).astype(f32)
-    yb = jnp.minimum(ya + (TILE_H - 1), height - 1.0)
-    va = ya - cyg
-    vb = yb - cyg
-    margfg = c1(13)
-    condg = margfg > 0.0
-    quug = jnp.where(condg, c1(7), 1.0)
-    quvg, gug = c1(8), c1(9)
-    alfg = c1(10)
-    betg, gamg = c1(11), c1(12)
-
-    def _disc(v):
-        # absolute inflation ~1000x f32 eps of the evaluation
-        # magnitudes: rounding can only widen the chord, never drop a
-        # contributing tile
-        d = (alfg * v + 2.0 * betg) * v + gamg
-        return d + 1e-4 * (jnp.abs(alfg) * v * v
-                           + 2.0 * jnp.abs(betg) * jnp.abs(v)
-                           + jnp.abs(gamg))
-
-    # strip max of the concave/convex discriminant: endpoints always,
-    # plus the clamped vertex when concave (alf < 0, the elliptic case)
-    alf_safe = jnp.where(alfg < 0.0, alfg, -1.0)
-    vhat = jnp.clip(-betg / alf_safe, va, vb)
-    disc = jnp.maximum(jnp.maximum(_disc(va), _disc(vb)),
-                       jnp.where(alfg < 0.0, _disc(vhat), -jnp.inf))
-    cne = condg & (disc >= 0.0)
-    half = jnp.sqrt(jnp.maximum(disc, 0.0)) / quug
-    ca = -(quvg * va + gug) / quug
-    cb = -(quvg * vb + gug) / quug
-    ulo_c = jnp.minimum(ca, cb) - half
-    uhi_c = jnp.maximum(ca, cb) + half
-    marg = margfg * (jnp.abs(ulo_c) + jnp.abs(uhi_c)) + 2.0
-    ulo_c, uhi_c = ulo_c - marg, uhi_c + marg
-    rf2 = c1(6) * (1.0 / FILTER_INV_SQUARE)
-    dyf = jnp.maximum(jnp.maximum(va, -vb), 0.0)
-    fne = condg & (dyf * dyf <= rf2)
-    fhalf = jnp.sqrt(jnp.maximum(rf2 - dyf * dyf, 0.0)) + 1.0
-    big = jnp.float32(1e9)
-    ulo = jnp.minimum(jnp.where(cne, ulo_c, big),
-                      jnp.where(fne, -fhalf, big))
-    uhi = jnp.maximum(jnp.where(cne, uhi_c, -big),
-                      jnp.where(fne, fhalf, -big))
-    jx0 = jnp.clip(jnp.floor((cxg + ulo) / TILE_W).astype(jnp.int32),
-                   g_tx0, g_tx1)
-    jx1 = jnp.clip(jnp.floor((cxg + uhi) / TILE_W).astype(jnp.int32) + 1,
-                   jx0, g_tx1)
-    jx0 = jnp.where(condg, jx0, g_tx0)       # fallback: full bbox width
-    jx1 = jnp.where(condg, jx1, g_tx1)
-    cnt2 = jnp.where(row_ok, jx1 - jx0, 0)
-    trow = ty * _TROW_BASE + jx0             # packed (row, x0) < 2^24
-    gidrow = c1(14).astype(jnp.int32)
+    tidx = gidrow * K_ENT + k1          # k1 < nE <= K_ENT for valid slots
+    cnt2 = jnp.where(row_ok, tab_cnt[tidx], 0)
+    trow = tab_dec[tidx]                # (first tile row, x0, w) pack
 
     # ---- level 2: expand rows into (gaussian, tile) pairs -------------
     # Gather-free: a per-pair row-gather would need an R-sized row-major
@@ -446,72 +543,64 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     demand2_f = jnp.sum(cnt2f.astype(f32))
     starts2 = cum2 - cnt2f
     seg_src2 = jnp.where(cnt2f > 0, starts2, pairs_capacity)
+    pos2 = jnp.arange(pairs_capacity, dtype=jnp.int32)
     start_pp = jax.lax.cummax(
         jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].max(
             starts2, mode="drop"))
-    flag0 = jnp.zeros((pairs_capacity,), bool).at[seg_src2].set(
-        True, mode="drop")
+    flag0 = start_pp == pos2          # derived, same argument as flag1
     trow0 = jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].set(
         trow.reshape(-1), mode="drop")
     gid0 = jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].set(
         gidrow.reshape(-1), mode="drop")
     trow_pp, gid_pp = _ffill_k(flag0, trow0, gid0)
 
-    pos2 = jnp.arange(pairs_capacity, dtype=jnp.int32)
+    # Decode pair k2 of its entry: pairs are row-major over the entry's
+    # (nr rows) x (w tiles) rectangle. k2 < nr*w by construction, so the
+    # division bound is never consulted for dead entries.
     k2 = pos2 - start_pp
-    ty2 = jax.lax.shift_right_logical(trow_pp, _TROW_SHIFT)
-    jx2 = trow_pp - ty2 * _TROW_BASE + k2
+    w2 = trow_pp & (_DEC_W_BASE - 1)
+    x0_2 = jax.lax.shift_right_logical(trow_pp, _DEC_W_BITS) \
+        & (_DEC_X_BASE - 1)
+    tyb2 = jax.lax.shift_right_logical(trow_pp, _DEC_X_BITS + _DEC_W_BITS)
+    r2 = k2 // jnp.maximum(w2, 1)
+    jx2 = x0_2 + (k2 - r2 * jnp.maximum(w2, 1))
+    ty2 = tyb2 + r2
     tile = ty2 * ntx + jx2
     pair_gid = gid_pp
     pv_flat = pos2 < total2
     tile_key = jnp.where(pv_flat, tile, T).astype(jnp.int32)
 
-    # COMPACT gradient coordinates: the backward's per-pair gather and
-    # segment sum run over the CULLED expansion order (survivors packed
-    # densely, still grouped per depth-sorted Gaussian — dropping pairs
-    # inside a contiguous segment keeps it contiguous). Sizing those
-    # stages by final_capacity instead of pairs_capacity cuts them ~2x
-    # at trained scale, where the bbox expansion over-covers the true
-    # conic support.
-    valid_cum = jnp.cumsum(pv_flat.astype(jnp.int32))      # inclusive
-    compact_dst = jnp.where(pv_flat, valid_cum - 1, P_fin)
-    compact_dst = jnp.minimum(compact_dst, P_fin)          # overflow-safe
-
-    # Compact BEFORE the sort: scatter the survivors' (tile, gid) into
-    # dense compact positions, then sort only final_capacity entries.
-    # The expansion scatter is order-preserving, so compact order is
-    # still (depth, rect-scan) order and the stable tile sort leaves
-    # every tile depth-ordered exactly as before. At trained 1080p scale
-    # the exact cull keeps ~4.3M of ~27M bbox pairs — sorting the
-    # pre-cull expansion burned ~6x the necessary sort work (the sort is
-    # the superlinear part of binning; measured 838 ms total at 29.4M
-    # capacity, r3).
-    ctile = jnp.full((P_fin,), T, jnp.int32).at[compact_dst].set(
-        tile_key, mode="drop")
-    cgid = jnp.zeros((P_fin,), jnp.int32).at[compact_dst].set(
-        pair_gid, mode="drop")
-    # (invalid pairs carry tile_key == T and target position P_fin —
-    # dropped; compact padding positions keep key T and sort to the end)
-
-    # Stable sort by tile key; depth order is preserved within each tile.
-    # The third operand carries each entry's compact gradient position so
-    # the slot permutation can be inverted into compact coordinates.
-    key_sorted, gid_sorted, c_sorted = jax.lax.sort(
-        (ctile, cgid, jnp.arange(P_fin, dtype=jnp.int32)),
+    # Stable sort by tile key over the expansion space; depth order is
+    # preserved within each tile. (A pre-sort compaction pass used to
+    # shrink the sort when the bbox expansion over-covered ~6x; the
+    # interval expansion is ~1.1x tight, and the sort itself is ~14 ms
+    # at 5.5M on v5e — the compaction's two extra capacity-sized
+    # scatters cost more than they saved.) The third operand carries
+    # each entry's expansion position so the slot permutation can be
+    # inverted for the backward's gradient reorder.
+    key_sorted, gid_sorted, p_sorted = jax.lax.sort(
+        (tile_key, pair_gid, pos2),
         num_keys=1, is_stable=True)
 
-    # Per-tile true counts and CHUNK-aligned starts.
+    # Per-tile true counts and CHUNK-aligned starts. jnp.searchsorted
+    # lowers to full-capacity sorts on TPU (~8-10 ms each, 4 in the
+    # trace); T=#tiles queries take ~1 ms as a hand-rolled vectorized
+    # binary search.
     tiles = jnp.arange(T, dtype=jnp.int32)
-    left = jnp.searchsorted(key_sorted, tiles, side="left").astype(jnp.int32)
-    right = jnp.searchsorted(key_sorted, tiles, side="right").astype(jnp.int32)
+    left = _bsearch_i32(key_sorted, tiles, "left")
+    right = _bsearch_i32(key_sorted, tiles, "right")
     tile_count = right - left
-    num_pairs = right[-1]                           # post-cull survivors
+    num_pairs = right[-1]                           # surviving pairs
     padded = cdiv(tile_count, chunk) * chunk
     aligned_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
     padded_total = aligned_start[-1] + padded[-1]   # chunk-padded slot need
+    # cntg's f32 sum guards int32 cumsum wrap in the N-space pair demand
+    # (it counts tail rows past R_cap that demand2_f cannot see).
+    demand_pairs_f = jnp.sum(cntg.astype(f32))
     overflow = ((padded_total > P_fin) | (total2 > pairs_capacity)
                 | (demand2_f > jnp.float32(pairs_capacity))
+                | (demand_pairs_f > jnp.float32(pairs_capacity))
                 | (totalR > R_cap)
                 | (demand_rows_f > jnp.float32(R_cap)))
     # Clamp so every tile's padded range fits inside the allocation.
@@ -526,7 +615,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     #   aligned start     = running sum, at each segment start, of the
     #                       PREVIOUS segment's chunk-padded size
     # which reproduces aligned_start[key] exactly (empty tiles pad 0).
-    pos = jnp.arange(P_fin, dtype=jnp.int32)
+    pos = pos2
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]])
     left_pp = jax.lax.cummax(jnp.where(is_start, pos, 0))
@@ -548,23 +637,19 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     slot_valid = gid1 > 0
     gid = jnp.maximum(gid1 - 1, 0)
 
-    # compact culled-pair index → final slot (clamp-dropped entries map
-    # to P_fin; compact positions beyond P_fin — overflow only — drop)
-    inv = jnp.full((P_fin,), P_fin, jnp.int32).at[c_sorted].set(
+    # expansion pair index → final slot (clamp-dropped and invalid
+    # entries map to P_fin)
+    inv = jnp.full((pairs_capacity,), P_fin, jnp.int32).at[p_sorted].set(
         new_slot, mode="drop")
-    # per-Gaussian segment bounds in compact coordinates: each
-    # Gaussian's level-2 pair block spans [starts2[first row],
-    # starts2[one-past-last row]) (rows are contiguous per Gaussian, so
-    # the block is contiguous even across empty rows); then the
-    # exclusive validity prefix maps those to compact positions.
-    starts2_ext = jnp.concatenate([starts2, total2[None]])
-    gstart2 = jnp.clip(starts2_ext[jnp.minimum(starts1, R_cap)],
-                       0, pairs_capacity)
-    gend2 = jnp.clip(starts2_ext[jnp.minimum(cumR, R_cap)],
-                     0, pairs_capacity)
-    excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), valid_cum])
-    seg_start = jnp.minimum(excl[gstart2], P_fin)
-    seg_end = jnp.minimum(excl[gend2], P_fin)
+    # per-Gaussian segment bounds in expansion coordinates, from the
+    # N-space per-Gaussian pair counts (EXACTLY the level-2 prefix at
+    # each Gaussian's row block, since both sum the same table widths
+    # and rows are contiguous per Gaussian): one N-gather + cumsum
+    # replaces two R-sized gathers of the level-2 prefix.
+    cntg_d = cntg[g_order]
+    cum_pairs = jnp.cumsum(cntg_d)
+    seg_start = jnp.clip(cum_pairs - cntg_d, 0, pairs_capacity)
+    seg_end = jnp.clip(cum_pairs, 0, pairs_capacity)
 
     return BinningOut(
         gid=gid, slot_valid=slot_valid,
@@ -573,5 +658,5 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         inv=inv, seg_start=seg_start, seg_end=seg_end,
         order=g_order.astype(jnp.int32),
         num_expanded=total2,
+        num_rows=totalR,
     )
-

@@ -129,16 +129,16 @@ def _bwd_kernel(ts_ref, tc_ref, entries, out_tiles, g_tiles, med_tiles,
     start_blk = jax.lax.div(start, chunk)
 
     def dma_in(slot, ci):
-        # column-major (ENTRY_F, P_alloc) wire: one chunk is a
-        # tiling-legal (ENTRY_F, chunk) strided slice (see kernel_fwd.dma)
+        # chunk-blocked (P_alloc/chunk, ENTRY_F, chunk): contiguous,
+        # tiling-legal block DMAs (see kernel_fwd.dma)
         return pltpu.make_async_copy(
-            entries.at[:, pl.ds((start_blk + ci) * chunk, chunk)],
+            entries.at[start_blk + ci],
             ebuf.at[slot], sem_r.at[slot])
 
     def dma_out(slot, ci):
         return pltpu.make_async_copy(
             wbuf.at[slot],
-            d_entries.at[:, pl.ds((start_blk + ci) * chunk, chunk)],
+            d_entries.at[start_blk + ci],
             sem_w.at[slot])
 
     # Grand total Σ_j w_j·dw_j in closed form from outputs × cotangents;
@@ -283,18 +283,15 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
                          g_tiles: jnp.ndarray, med_tiles: jnp.ndarray, *,
                          width: int, height: int, chunk: int = 128,
                          interpret: bool = False) -> jnp.ndarray:
-    """Per-entry gradients, column-major (DENTRY_F, P_alloc) in the
-    common.py DFLD_* layout — the entry layout minus the two always-zero
-    center columns (the low-pass branch carries no gradient). The glue's
-    per-column consumers read rows of this wire directly (no unblock
-    transpose)."""
+    """Per-entry gradients, chunk-blocked (P_alloc/chunk, DENTRY_F, chunk)
+    in the common.py DFLD_* layout — the entry layout minus the two
+    always-zero center columns (the low-pass branch carries no gradient)."""
     if not interpret:
         assert chunk % 128 == 0
-    assert entries.ndim == 2 and entries.shape[0] == ENTRY_F
-    assert entries.shape[1] % chunk == 0
+    assert entries.ndim == 3 and entries.shape[1:] == (ENTRY_F, chunk)
     ntx = cdiv(width, TILE_W)
     T = out_tiles.shape[0]
-    P_alloc = entries.shape[1]
+    n_blocks = entries.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -322,7 +319,8 @@ def rasterize_bwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((DENTRY_F, P_alloc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, DENTRY_F, chunk),
+                                       jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_count, entries, out_tiles, g_tiles, med_tiles)

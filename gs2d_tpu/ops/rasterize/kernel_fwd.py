@@ -3,11 +3,10 @@
 One grid program composites one (TILE_H, TILE_W) pixel tile (16x32 —
 near-square tiles minimize per-splat pixel work), flattened to TILE_PX
 lanes. Entries (depth-sorted, CHUNK-aligned per tile — see binning.py)
-arrive column-major (ENTRY_F, P) — one chunk is a Mosaic-tiling-legal
-(ENTRY_F, chunk) strided slice, and the wire is assembled from cheap
-per-column 1-D gathers — streamed HBM→VMEM with double-buffered async
-DMA, then rotated to (chunk, ENTRY_F) compute rows by one bit-exact MXU
-identity matmul per chunk.
+arrive chunk-blocked (P/chunk, ENTRY_F, chunk) — each block one
+contiguous, Mosaic-tiling-legal 12 KB HBM region — streamed HBM→VMEM
+with double-buffered async DMA, then rotated to (chunk, ENTRY_F)
+compute rows by one bit-exact MXU identity matmul per chunk.
 
 TPU-native compositing: instead of a per-splat sequential loop (the CUDA
 shape), each CHUNK of splats is composited in closed form —
@@ -83,17 +82,14 @@ def _fwd_kernel(ts_ref, tc_ref, entries, out_ref, med_ref, state, ebuf,
     start_blk = jax.lax.div(start, chunk)
 
     def dma(slot, ci):
-        # entries is column-major (ENTRY_F, P_alloc): one chunk is an
-        # (ENTRY_F, chunk) slice — minor dim chunk is a 128-lane multiple
-        # (Mosaic slice tiling), each row a contiguous 512 B run with a
-        # regular P-stride (native 2-D strided DMA). Column-major keeps
-        # the wire buildable from per-column 1-D gathers (~1.7 ms each at
-        # 5M pairs on v5e) instead of a P-sized row gather (~20 ns/row ≈
-        # 120 ms) — and a row-major (P, F) array would both pad F→128
-        # lanes in HBM (5.3x footprint) and reject the slice outright.
-        # tile_start is chunk-aligned by binning, so slicing is exact.
+        # entries is chunk-blocked (P_alloc/chunk, ENTRY_F, chunk): one
+        # block is one CONTIGUOUS 12 KB HBM region whose minor dim (chunk)
+        # satisfies Mosaic's 128-lane slice tiling — a row-major (P, F)
+        # array would pad F→128 lanes in HBM (5.3x footprint) AND reject
+        # the (chunk, F) DMA slice outright. tile_start is chunk-aligned
+        # by binning, so block indexing is exact.
         return pltpu.make_async_copy(
-            entries.at[:, pl.ds((start_blk + ci) * chunk, chunk)],
+            entries.at[start_blk + ci],
             ebuf.at[slot],
             sem.at[slot],
         )
@@ -206,13 +202,12 @@ def rasterize_fwd_pallas(entries: jnp.ndarray, tile_start: jnp.ndarray,
                          tile_count: jnp.ndarray, *, width: int, height: int,
                          chunk: int = 128,
                          interpret: bool = False):
-    """entries (ENTRY_F, P_alloc) f32 column-major wire → (out, med_idx):
+    """entries (P_alloc/chunk, ENTRY_F, chunk) f32 blocks → (out, med_idx):
     out (T, NUM_OUT, TILE_PX) f32; med_idx (T, 1, TILE_PX) f32 carries the
     per-pixel median contributor's tile-local slot (backward-only aux)."""
     if not interpret:
         assert chunk % 128 == 0, "hardware DMA needs 128-lane-aligned chunks"
-    assert entries.ndim == 2 and entries.shape[0] == ENTRY_F
-    assert entries.shape[1] % chunk == 0
+    assert entries.ndim == 3 and entries.shape[1:] == (ENTRY_F, chunk)
     ntx = cdiv(width, TILE_W)
     nty = cdiv(height, TILE_H)
     T = ntx * nty

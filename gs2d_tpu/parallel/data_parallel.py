@@ -74,16 +74,19 @@ def rasterize_sharded(pre: PreprocessOut, cfg: RasterizeConfig, mesh,
         pre_b = shift_viewport(pre_rep, y0[0])
         out, aux = rasterize(pre_b, cfg_band)
         return (out, aux["num_pairs"][None], aux["overflow"][None],
-                aux["padded_total"][None], aux["num_expanded"][None])
+                aux["padded_total"][None], aux["num_expanded"][None],
+                aux["num_rows"][None])
 
-    out, pairs, overflow, padded, expanded = jax.shard_map(
+    out, pairs, overflow, padded, expanded, rows = jax.shard_map(
         band, mesh=mesh,
         in_specs=(P(), P(axes)),
-        out_specs=(P(None, axes, None), P(axes), P(axes), P(axes), P(axes)),
+        out_specs=(P(None, axes, None), P(axes), P(axes), P(axes), P(axes),
+                   P(axes)),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )(pre, y0s)
     # the per-band capacity is what must cover the demand → max, not sum
     return out, {"num_pairs": jnp.sum(pairs),
                  "overflow": jnp.any(overflow),
                  "padded_total": jnp.max(padded),
-                 "num_expanded": jnp.max(expanded)}
+                 "num_expanded": jnp.max(expanded),
+                 "num_rows": jnp.max(rows)}

@@ -95,4 +95,5 @@ def render(camera: Camera, state: GaussianState, cfg: RasterizeConfig,
         "overflow": aux["overflow"],
         "padded_total": aux["padded_total"],
         "num_expanded": aux["num_expanded"],
+        "num_rows": aux["num_rows"],
     }

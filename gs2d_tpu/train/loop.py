@@ -72,6 +72,7 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
 
     pairs_capacity = rt.pairs_capacity
     final_capacity = None   # post-cull slot capacity; None -> pairs_capacity
+    rows_capacity = None    # level-1 row capacity; None -> pairs_capacity
     key = jax.random.PRNGKey(rt.seed)
 
     # jitted step per (W, H) resolution bucket (COLMAP scenes may mix
@@ -82,6 +83,7 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
         rcfg = RasterizeConfig(width=w, height=h,
                                pairs_capacity=pairs_capacity,
                                final_capacity=final_capacity,
+                               rows_capacity=rows_capacity,
                                chunk=rt.chunk, interpret=rt.interpret)
         return make_train_step(
             rcfg, opt, max_sh_degree=model.sh_degree,
@@ -102,6 +104,7 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
     gt_cache_bytes = 0
     max_padded = 0
     max_expanded = 0
+    max_rows = 0
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
@@ -185,9 +188,10 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
         if iteration % 10 == 0:
             m = jax.device_get({k: metrics[k] for k in (
                 "overflow", "loss", "dist_loss", "normal_loss",
-                "num_points", "padded_total", "num_expanded")})
+                "num_points", "padded_total", "num_expanded", "num_rows")})
             max_padded = max(max_padded, int(m["padded_total"]))
             max_expanded = max(max_expanded, int(m["num_expanded"]))
+            max_rows = max(max_rows, int(m["num_rows"]))
             # One-shot downward adaptation: small scenes don't pay big-scene
             # binning costs (every slot-proportional op scales with the
             # capacity). A single recompile at iter 100, 4x headroom for
@@ -197,14 +201,18 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
                              // rt.chunk) * rt.chunk, rt.chunk)
                 tight_fin = max(((4 * max_padded + rt.chunk - 1)
                                  // rt.chunk) * rt.chunk, rt.chunk)
-                if tight < pairs_capacity or tight_fin < tight:
+                tight_rows = max(((4 * max_rows + 127) // 128) * 128, 128)
+                if (tight < pairs_capacity or tight_fin < tight
+                        or tight_rows < pairs_capacity):
                     pairs_capacity = min(tight, pairs_capacity)
                     final_capacity = min(tight_fin, pairs_capacity)
+                    rows_capacity = min(tight_rows, pairs_capacity)
                     step_fns.clear()
                     if log_fn:
                         log_fn(iteration,
                                {"event": f"pairs_capacity ↓ "
-                                f"{pairs_capacity}/{final_capacity}"})
+                                f"{pairs_capacity}/{final_capacity}"
+                                f"/{rows_capacity}"})
             if bool(m["overflow"]):
                 from ..ops.rasterize.binning import MAX_PAIRS_CAPACITY
                 if pairs_capacity >= MAX_PAIRS_CAPACITY:
@@ -218,6 +226,9 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
                 final_capacity = (None if final_capacity is None
                                   else min(2 * final_capacity,
                                            pairs_capacity))
+                rows_capacity = (None if rows_capacity is None
+                                 else min(2 * rows_capacity,
+                                          pairs_capacity))
                 step_fns.clear()
                 if log_fn:
                     log_fn(iteration,

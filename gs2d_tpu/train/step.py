@@ -91,6 +91,7 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
                 "num_pairs": pkg["num_pairs"],
                 "padded_total": pkg["padded_total"],
                 "num_expanded": pkg["num_expanded"],
+                "num_rows": pkg["num_rows"],
             }
             return total, aux
 
@@ -147,6 +148,7 @@ def make_train_step(rcfg: RasterizeConfig, opt_cfg: OptimizationParams,
             "overflow": aux["overflow"], "num_pairs": aux["num_pairs"],
             "padded_total": aux["padded_total"],
             "num_expanded": aux["num_expanded"],
+            "num_rows": aux["num_rows"],
             "xyz_lr": xyz_lr,
         }
         return TrainState(gaussians=gs, opt=new_opt, key=ts.key), metrics

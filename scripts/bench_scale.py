@@ -27,9 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gs2d_tpu.ops.rasterize.api import (RasterizeConfig, _segment_sum_col,
-                                        _wire_entries, pack_entries,
-                                        rasterize, suggest_capacities)
+from gs2d_tpu.ops.rasterize.api import (RasterizeConfig, _segment_sum_rows,
+                                        pack_entries, rasterize,
+                                        suggest_capacities)
 from gs2d_tpu.ops.rasterize.binning import bin_gaussians
 from gs2d_tpu.ops.rasterize.kernel_bwd import rasterize_bwd_pallas
 from gs2d_tpu.ops.rasterize.kernel_fwd import rasterize_fwd_pallas
@@ -57,9 +57,9 @@ def bench_one(n, out_f, n_iters=8):
         m, s, q, o, cam.world_view, cam.full_proj, cam.campos, W, H,
         colors=c))
     pre = pre_fn(means, scales, quats, opac, rgb)
-    cap, fin_cap = suggest_capacities(pre, W, H, chunk=CHUNK)
+    cap, fin_cap, rows_cap = suggest_capacities(pre, W, H, chunk=CHUNK)
     cfg = RasterizeConfig(width=W, height=H, pairs_capacity=cap,
-                          final_capacity=fin_cap, chunk=CHUNK)
+                          final_capacity=fin_cap, rows_capacity=rows_cap, chunk=CHUNK)
     rec = {"n_gaussians": n, "width": W, "height": H, "pairs_capacity": cap,
            "final_capacity": fin_cap, "chunk": CHUNK}
     print(f"[N={n}] capacity {cap} final {fin_cap}", flush=True)
@@ -75,7 +75,8 @@ def bench_one(n, out_f, n_iters=8):
     bin_fn = jax.jit(lambda c2, ex, dp, vis: bin_gaussians(
         c2, ex, dp, vis, W, H, cap, CHUNK,
         cull_abc=(pre.A, pre.B, pre.C),
-        rho2max=pre.rho2max, final_capacity=fin_cap))
+        rho2max=pre.rho2max, final_capacity=fin_cap,
+        rows_capacity=rows_cap))
 
     def step_bin(c2):
         b = bin_fn(c2, pre.extent, pre.depth, pre.visible)
@@ -94,19 +95,21 @@ def bench_one(n, out_f, n_iters=8):
     print(f"[N={n}] pairs {rec['num_pairs']} padded {rec['padded_total']}",
           flush=True)
 
-    # ---- stage: expansion gather (per-column wire build) ---------------
-    packed = jax.jit(pack_entries)(pre)      # (ENTRY_F, N) column-major
+    # ---- stage: expansion gather (packed[gid] rows) -------------------
+    packed = jax.jit(pack_entries)(pre)
     gid = bins.gid
 
     @jax.jit
     def step_gather(p):
-        e = _wire_entries(p, gid)
-        return p + 1e-30 * jnp.sum(e[:, ::1013])
+        e = p[gid]
+        return p + 1e-30 * jnp.sum(e[::1013])
     dt, _ = timed_loop(step_gather, packed, n=n_iters)
     rec["t_gather_ms"] = dt * 1e3
 
     # ---- stage: fwd kernel --------------------------------------------
-    entries = jax.jit(lambda p: _wire_entries(p, gid))(packed)  # (ENTRY_F, P)
+    entries = jax.jit(
+        lambda p: p[gid].reshape(-1, CHUNK, p.shape[1]).transpose(0, 2, 1)
+    )(packed)                                # (P/chunk, ENTRY_F, chunk) wire
     ts, tc = bins.tile_start, bins.tile_count
 
     @jax.jit
@@ -132,10 +135,10 @@ def bench_one(n, out_f, n_iters=8):
     dt, _ = timed_loop(step_bwd, entries, n=n_iters)
     rec["t_bwd_kernel_ms"] = dt * 1e3
 
-    # ---- stage: bwd glue (per-column slot→expansion gather + seg sum) --
-    from gs2d_tpu.ops.rasterize.common import DENTRY_F
-    P_slots = entries.shape[1]
-    d_raw = jnp.ones((DENTRY_F, P_slots), jnp.float32)
+    # ---- stage: bwd glue (slot→expansion gather, segment sum, scatter) -
+    from gs2d_tpu.ops.rasterize.common import DENTRY_F, ENTRY_F
+    P_slots = entries.shape[0] * CHUNK
+    d_raw = jnp.ones((P_slots, DENTRY_F), jnp.float32)
     inv, seg_s, seg_e, order = bins.inv, bins.seg_start, bins.seg_end, \
         bins.order
     P_alloc = P_slots
@@ -144,17 +147,14 @@ def bench_one(n, out_f, n_iters=8):
     @jax.jit
     def step_bglue(d):
         ok = inv < P_alloc
-        inv_c = jnp.where(ok, inv, 0)
-        okf = ok.astype(d.dtype)
-        iord = jnp.zeros((N,), jnp.int32).at[order].set(
-            jnp.arange(N, dtype=jnp.int32))
-        cols = []
-        for i in range(d.shape[0]):
-            ds = _segment_sum_col(d[i][inv_c] * okf, seg_s, seg_e)
-            cols.append(ds[iord])
-        zero = jnp.zeros((N,), d.dtype)
-        d_packed = jnp.stack(cols[:12] + [zero, zero] + cols[12:])
-        return d + 1e-30 * jnp.sum(d_packed[:, ::503])
+        d_pairs = d[jnp.where(ok, inv, 0)]
+        d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
+        d_sorted = _segment_sum_rows(d_pairs, seg_s, seg_e)
+        d_sorted = jnp.concatenate(
+            [d_sorted[:, :12], jnp.zeros((N, 2), d.dtype), d_sorted[:, 12:]],
+            axis=1)
+        d_packed = jnp.zeros((N, ENTRY_F), d.dtype).at[order].set(d_sorted)
+        return d + 1e-30 * jnp.sum(d_packed[::503])
     dt, _ = timed_loop(step_bglue, d_raw, n=n_iters)
     rec["t_bwd_glue_ms"] = dt * 1e3
 

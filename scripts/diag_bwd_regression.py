@@ -125,11 +125,12 @@ def main():
     pre = jax.jit(lambda m, s, q, o, c: preprocess(
         m, s, q, o, cam.world_view, cam.full_proj, cam.campos, W, H,
         colors=c))(means, scales, quats, opac, rgb)
-    cap, fin_cap = suggest_capacities(pre, W, H, chunk=CHUNK)
+    cap, fin_cap, rows_cap = suggest_capacities(pre, W, H, chunk=CHUNK)
     bins = jax.jit(lambda c2, ex, dp, vis: bin_gaussians(
         c2, ex, dp, vis, W, H, cap, CHUNK,
         cull_abc=(pre.A, pre.B, pre.C), rho2max=pre.rho2max,
-        final_capacity=fin_cap))(pre.center2d, pre.extent, pre.depth,
+        final_capacity=fin_cap, rows_capacity=rows_cap))(
+            pre.center2d, pre.extent, pre.depth,
                                  pre.visible)
     ntx = cdiv(W, TILE_W)
     nty = cdiv(H, TILE_H)
@@ -140,9 +141,9 @@ def main():
     print(f"pairs {int(bins.num_pairs)} padded {int(bins.padded_total)} "
           f"cap {cap} fin {fin_cap}", flush=True)
 
-    from gs2d_tpu.ops.rasterize.api import _wire_entries
-    packed = jax.jit(pack_entries)(pre)          # (ENTRY_F, N)
-    to_entries = jax.jit(_wire_entries)
+    packed = jax.jit(pack_entries)(pre)
+    to_entries = jax.jit(lambda p, g: p[g].reshape(
+        -1, CHUNK, p.shape[1]).transpose(0, 2, 1))
 
     entries0 = to_entries(packed, jnp.asarray(gid0))
     out0 = time_kernels(entries0, bins.tile_start, bins.tile_count,

@@ -146,7 +146,7 @@ def main():
     cap = fin_cap = 0
     for elev in (0.05, 0.35, 0.65):
         pc = cam_of(orbit_c2w(0.0, elev))
-        c, f = suggest_capacities(
+        c, f, _r = suggest_capacities(
             pre0(gt, pc.world_view, pc.full_proj, pc.campos), W, H,
             chunk=chunk, slack=1.8)
         cap, fin_cap = max(cap, c), max(fin_cap, f)

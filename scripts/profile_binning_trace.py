@@ -38,12 +38,12 @@ def main():
     pre = jax.jit(lambda m, s, q, o, c: preprocess(
         m, s, q, o, cam.world_view, cam.full_proj, cam.campos, W, H,
         colors=c))(means, scales, quats, opac, rgb)
-    cap, fin_cap = suggest_capacities(pre, W, H, chunk=CHUNK)
+    cap, fin_cap, rows_cap = suggest_capacities(pre, W, H, chunk=CHUNK)
     print(f"cap {cap} fin {fin_cap}", flush=True)
     bin_fn = jax.jit(lambda c2: bin_gaussians(
         c2, pre.extent, pre.depth, pre.visible, W, H, cap, CHUNK,
         cull_abc=(pre.A, pre.B, pre.C), rho2max=pre.rho2max,
-        final_capacity=fin_cap))
+        final_capacity=fin_cap, rows_capacity=rows_cap))
 
     def step(c2):
         b = bin_fn(c2)

@@ -52,13 +52,13 @@ def run(W, H, N, pairs_cap, label):
         packed = _gather_barrier(pack_entries(pre))
         gid = (jax.lax.optimization_barrier(bins.gid) if barrier_gid
                else bins.gid)
-        from gs2d_tpu.ops.rasterize.api import _wire_entries
-        g = _wire_entries(packed, gid)                # (ENTRY_F, P)
+        g = packed[gid]
         if transpose and not kernel:
             g = g.T
         if kernel:
+            gb = g.reshape(-1, cfg.chunk, g.shape[1]).transpose(0, 2, 1)
             out, _ = rasterize_fwd_pallas(
-                g, bins.tile_start, bins.tile_count,
+                gb, bins.tile_start, bins.tile_count,
                 width=W, height=H, chunk=cfg.chunk)
             if do_untile:
                 img = untile(out, W, H)

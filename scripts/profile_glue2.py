@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gs2d_tpu.ops.rasterize.api import (_segment_sum_col, pack_entries,
+from gs2d_tpu.ops.rasterize.api import (_segment_sum_rows, pack_entries,
                                         suggest_pairs_capacity)
 from gs2d_tpu.ops.rasterize.binning import bin_gaussians
 from gs2d_tpu.ops.rasterize.preprocess import preprocess
@@ -91,7 +91,7 @@ def main():
           jnp.where(ok[:, None], x[inv_c], 0.0)[::1013])), dT)
     t("bwd: segment_sum_rows alone",
       jax.jit(lambda x: x + 1e-30 * jnp.sum(
-          _segment_sum_col(x[:, 0], seg_s, seg_e)[::503])), dT)
+          _segment_sum_rows(x, seg_s, seg_e)[::503])), dT)
     d_sorted = jnp.ones((N, 24), jnp.float32)
     t("bwd: zeros.at[order].set alone",
       jax.jit(lambda x: x + 1e-30 * jnp.sum(

@@ -42,12 +42,13 @@ def main():
         W, H, colors=a[4]))(means, scales, quats, opac, rgb)
     bins = jax.jit(lambda p: bin_gaussians(
         p.center2d, p.extent, p.depth, p.visible, W, H, cap, chunk))(pre)
-    packed = jax.jit(pack_entries)(pre)          # (ENTRY_F, N)
+    packed = jax.jit(pack_entries)(pre)
     entries = jnp.asarray(np.ascontiguousarray(
-        np.asarray(packed)[:, np.asarray(bins.gid)]))
+        np.asarray(packed)[np.asarray(bins.gid)]
+        .reshape(-1, chunk, 24).transpose(0, 2, 1)))
     ts, tc = bins.tile_start, bins.tile_count
     print("pairs:", int(bins.num_pairs),
-          "P_alloc:", entries.shape[1],
+          "P_alloc:", entries.shape[0] * chunk,
           "padded work:", int(np.asarray(tc).sum()),
           "padded slots:", int((np.ceil(np.asarray(tc) / chunk) * chunk).sum()))
 

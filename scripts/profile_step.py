@@ -69,8 +69,7 @@ def run(W, H, N, pairs_cap, label):
         pre = pre_raw(*args)
         bins = bin_gaussians(pre.center2d, pre.extent, pre.depth,
                              pre.visible, W, H, pairs_cap, 128)
-        from gs2d_tpu.ops.rasterize.api import _wire_entries
-        entries = _wire_entries(pack_entries(pre), bins.gid)
+        entries = pack_entries(pre)[bins.gid]     # row-major wire format
         return chain(jnp.sum(entries[::4096]) +
                      jnp.sum(bins.inv[::4096]).astype(jnp.float32),
                      args)

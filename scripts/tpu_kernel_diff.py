@@ -44,9 +44,10 @@ def build():
         W, H, colors=a[4]))(means, scales, quats, opac, rgb)
     bins = jax.jit(lambda p: bin_gaussians(
         p.center2d, p.extent, p.depth, p.visible, W, H, 1 << 17, 128))(pre)
-    packed = jax.jit(pack_entries)(pre)          # (ENTRY_F, N)
+    packed = jax.jit(pack_entries)(pre)
+    entries = np.asarray(packed)[np.asarray(bins.gid)]
     entries = np.ascontiguousarray(
-        np.asarray(packed).astype(np.float32)[:, np.asarray(bins.gid)])
+        entries.astype(np.float32).reshape(-1, 128, 24).transpose(0, 2, 1))
     ts = np.asarray(bins.tile_start)
     tc = np.asarray(bins.tile_count)
 

@@ -163,12 +163,14 @@ def test_intervals_contain_exact_keep_set():
 
 def test_cull_shrinks_final_capacity():
     pre, cam = _pre(opacity_lo=0.002)
-    cap, fin = suggest_capacities(pre, 128, 96)
+    cap, fin, rows = suggest_capacities(pre, 128, 96)
     assert fin <= cap
+    assert rows <= cap
     bins = bin_gaussians(pre.center2d, pre.extent, pre.depth, pre.visible,
                          128, 96, cap, 128,
                          cull_abc=(pre.A, pre.B, pre.C),
-                         rho2max=pre.rho2max, final_capacity=fin)
+                         rho2max=pre.rho2max, final_capacity=fin,
+                         rows_capacity=rows)
     assert not bool(bins.overflow)
     assert int(bins.num_pairs) <= int(bins.num_expanded)
 
