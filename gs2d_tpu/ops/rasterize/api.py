@@ -183,20 +183,23 @@ def _core_bwd(cfg, res, g):
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
         interpret=cfg.interpret)          # (P/chunk, DENTRY_F, chunk) blocks
     d_raw = _unblock_rows(d_blk)                    # (P, DENTRY_F=22) rows
-    # slot order → COMPACT culled-expansion order (same final-capacity
-    # size as the slots; dropped pairs contribute zero; padding slots —
-    # including never-DMA-written ones — are simply never gathered)
+    # slot order → expansion order (dropped pairs contribute zero;
+    # padding slots — including never-DMA-written ones — are simply
+    # never gathered)
     ok = inv < P_alloc
     d_pairs = d_raw[jnp.where(ok, inv, 0)]
     d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
-    d_sorted = _segment_sum_rows(d_pairs, seg_start, seg_end)  # (N, 22)
+    # Segment bounds arrive in ORIGINAL gaussian order (binning emits
+    # them that way), so the prefix-difference segment sum lands in
+    # original order directly — no (N, 24) reorder scatter (~98 ms at
+    # 1M on v5e; the endpoint gathers cost the same either way).
+    d_g = _segment_sum_rows(d_pairs, seg_start, seg_end)       # (N, 22)
     # Widen to the packed-entry layout only at N-size: the center columns'
     # gradient is identically zero (common.py DENTRY_F), so the wire, the
     # P-sized gather, and the segment sum all stay 22 columns.
     zero2 = jnp.zeros((N, 2), d_raw.dtype)
-    d_sorted = jnp.concatenate(
-        [d_sorted[:, :12], zero2, d_sorted[:, 12:]], axis=1)   # (N, 24)
-    d_packed = jnp.zeros((N, ENTRY_F), d_raw.dtype).at[order].set(d_sorted)
+    d_packed = jnp.concatenate(
+        [d_g[:, :12], zero2, d_g[:, 12:]], axis=1)             # (N, 24)
     return d_packed, None, None, None, None, None, None, None
 
 

@@ -104,8 +104,10 @@ class BinningOut(NamedTuple):
     # capacity-sized scatters (~9 ns/slot each on v5e).
     inv: jnp.ndarray          # (pairs_capacity,) int32 expansion pair → slot
                               #   (P_fin if dropped/invalid)
-    seg_start: jnp.ndarray    # (N,) int32 expansion segment start, clamped
-    seg_end: jnp.ndarray      # (N,) int32 expansion segment end, clamped
+    seg_start: jnp.ndarray    # (N,) int32 expansion segment start, clamped,
+                              #   in ORIGINAL gaussian order
+    seg_end: jnp.ndarray      # (N,) int32 expansion segment end, clamped,
+                              #   in ORIGINAL gaussian order
     order: jnp.ndarray        # (N,) int32 depth-sorted → original Gaussian id
     num_expanded: jnp.ndarray  # () int32 expansion pair demand
     num_rows: jnp.ndarray     # () int32 level-1 strip-entry demand
@@ -643,13 +645,18 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         new_slot, mode="drop")
     # per-Gaussian segment bounds in expansion coordinates, from the
     # N-space per-Gaussian pair counts (EXACTLY the level-2 prefix at
-    # each Gaussian's row block, since both sum the same table widths
-    # and rows are contiguous per Gaussian): one N-gather + cumsum
-    # replaces two R-sized gathers of the level-2 prefix.
+    # each Gaussian's entry block, since both sum the same table widths
+    # and entries are contiguous per Gaussian). Emitted in ORIGINAL
+    # gaussian order — the backward's segment sums then come out in
+    # original order directly, with NO (N, 24) reorder scatter at the
+    # end of the glue (measured ~98 ms at 1M on v5e): one extra N-sized
+    # scatter here (~9 ms) buys that off.
     cntg_d = cntg[g_order]
     cum_pairs = jnp.cumsum(cntg_d)
-    seg_start = jnp.clip(cum_pairs - cntg_d, 0, pairs_capacity)
-    seg_end = jnp.clip(cum_pairs, 0, pairs_capacity)
+    gstart = jnp.zeros((N,), jnp.int32).at[g_order].set(
+        (cum_pairs - cntg_d).astype(jnp.int32), mode="drop")
+    seg_start = jnp.clip(gstart, 0, pairs_capacity)
+    seg_end = jnp.clip(gstart + cntg, 0, pairs_capacity)
 
     return BinningOut(
         gid=gid, slot_valid=slot_valid,

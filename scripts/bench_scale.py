@@ -149,11 +149,10 @@ def bench_one(n, out_f, n_iters=8):
         ok = inv < P_alloc
         d_pairs = d[jnp.where(ok, inv, 0)]
         d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
-        d_sorted = _segment_sum_rows(d_pairs, seg_s, seg_e)
-        d_sorted = jnp.concatenate(
-            [d_sorted[:, :12], jnp.zeros((N, 2), d.dtype), d_sorted[:, 12:]],
+        d_g = _segment_sum_rows(d_pairs, seg_s, seg_e)  # original order
+        d_packed = jnp.concatenate(
+            [d_g[:, :12], jnp.zeros((N, 2), d.dtype), d_g[:, 12:]],
             axis=1)
-        d_packed = jnp.zeros((N, ENTRY_F), d.dtype).at[order].set(d_sorted)
         return d + 1e-30 * jnp.sum(d_packed[::503])
     dt, _ = timed_loop(step_bglue, d_raw, n=n_iters)
     rec["t_bwd_glue_ms"] = dt * 1e3

@@ -74,13 +74,11 @@ def main():
                 if stage >= 4:
                     z2 = jnp.zeros((Ng, 2), out.dtype)
                     out = jnp.concatenate(
-                        [out[:, :12], z2, out[:, 12:]], axis=1)
-                    out = jnp.zeros((Ng, ENTRY_F), out.dtype).at[order].set(
-                        out)                                   # widen+scat
+                        [out[:, :12], z2, out[:, 12:]], axis=1)  # widen
             return d + 1e-30 * jnp.sum(out[::1013])
         return jax.jit(fn)
 
-    names = ["unblock", "+gather", "+mask", "+segsum", "+widen/scatter"]
+    names = ["unblock", "+gather", "+mask", "+segsum", "+widen"]
     prev = 0.0
     for st, name in enumerate(names):
         dt, _ = timed_loop(upto(st), d_blk, n=8)

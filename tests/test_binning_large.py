@@ -98,5 +98,11 @@ def test_binning_exact_above_2pow24():
     np.testing.assert_array_equal(ref_gid[inv], order[owner])
     seg_start = np.asarray(bins.seg_start)
     seg_end = np.asarray(bins.seg_end)
+    # bounds are emitted in ORIGINAL gaussian order; widths match the
+    # per-gaussian pair counts and, viewed in depth order, the segments
+    # tile [0, total) contiguously
     np.testing.assert_array_equal(
-        seg_end - seg_start, counts_d.astype(np.int32))
+        seg_end - seg_start, counts.astype(np.int32))
+    np.testing.assert_array_equal(
+        seg_start[order],
+        (np.cumsum(counts_d) - counts_d).astype(np.int32))
