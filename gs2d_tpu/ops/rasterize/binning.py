@@ -40,14 +40,18 @@ step 2) with a TPU-friendly fixed-capacity pipeline:
    each; the whole trace showed ~70 ms of them).
 
 Performance notes (measured on v5e, op-level trace at 1M splats/1080p):
-1-D scatters cost ~9 ns per update-array slot and 1-D gathers ~7 ns per
-query — at multi-million capacities EVERY scatter/gather is tens of ms,
-and they dominate binning (the sort is ~14 ms, the forward-fill ~2 ms).
-The design rules that follow: size every bookkeeping array to its true
-demand (rows vs pairs), never scatter what a scan can derive (segment
-flags from cummax), and keep attribute distribution on the smaller side
-(N-sized scatters, not R-sized gathers). ROW gathers of multi-column
-records pay ~20 ns/row AND lane-pad their operands to 128.
+XLA lowers every 1-D scatter to sort(updates) + a SERIAL apply pass
+(~5.6 cycles per update — cost scales with update count); 1-D gathers
+pay ~7 ns per query; jnp.cumsum / lax.cummax lower to a strided-slice
+cascade costing ~30-45 ms per multi-million-element scan (replaced here
+by _iscan, a blocked Hillis-Steele at streaming bandwidth); lax.sort is
+~4-5 ms per operand at 5.6M and is the CHEAPEST way to move data along
+a permutation (see the `inv` inversion-by-second-sort). The design
+rules that follow: size every bookkeeping array to its true demand
+(entries vs pairs), never scatter what a scan can derive (segment flags
+from cummax), keep update counts minimal, and prefer sorts over
+scatters for permutation moves. ROW gathers of multi-column records pay
+~20-22 ns/row regardless of width AND lane-pad their operands to 128.
 
 Everything here is integer bookkeeping wrapped in stop_gradient by callers.
 """
@@ -121,6 +125,42 @@ def alloc_size(pairs_capacity: int) -> int:
     scatter, expansion gather, the kernels' d_entries) tied to ONE knob
     roughly halves the binning+gather cost vs worst-case headroom."""
     return pairs_capacity
+
+
+def _iscan(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """Inclusive 1-D scan (kind = "sum" | "max") at streaming bandwidth.
+
+    XLA's native cumsum/cummax lowers to a logarithmic strided-slice
+    cascade that measured ~30-45 ms PER SCAN at 2-6M elements on v5e
+    (the dominant cost in the binning trace). This 128-lane
+    Hillis-Steele with a recursive block-carry level moves ~7x the
+    array per level and runs in ~1-2 ms. Integer sums are exact
+    (associative); max is order-free."""
+    n = x.shape[0]
+    if n <= 8192:
+        return jnp.cumsum(x) if kind == "sum" else jax.lax.cummax(x)
+    if kind == "sum":
+        ident = jnp.zeros((), x.dtype)
+        op = jnp.add
+    else:
+        ident = (jnp.iinfo(x.dtype).min if jnp.issubdtype(x.dtype,
+                                                          jnp.integer)
+                 else -jnp.inf)
+        ident = jnp.asarray(ident, x.dtype)
+        op = jnp.maximum
+    pad = (-n) % _GB
+    xp = jnp.concatenate([x, jnp.full((pad,), ident, x.dtype)]) if pad else x
+    xb = xp.reshape(-1, _GB)
+    s = 1
+    while s < _GB:
+        sh = jnp.pad(xb, ((0, 0), (s, 0)),
+                     constant_values=ident)[:, :_GB]
+        xb = op(xb, sh)
+        s *= 2
+    carry = _iscan(xb[:, -1], kind)              # inclusive block totals
+    prev = jnp.concatenate([ident[None], carry[:-1]])
+    xb = op(xb, prev[:, None])
+    return xb.reshape(-1)[:n]
 
 
 def _ffill_k(flag: jnp.ndarray, *vals: jnp.ndarray):
@@ -489,7 +529,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
 
     counts = counts0[g_order]                   # entries per gaussian
 
-    cumR = jnp.cumsum(counts)                              # inclusive
+    cumR = _iscan(counts, "sum")                           # inclusive
     totalR = cumR[-1]            # rows <= N*nty < 2^31: cannot wrap
     demand_rows_f = jnp.sum(counts.astype(f32))
 
@@ -503,9 +543,9 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     pos1 = jnp.arange(R_cap, dtype=jnp.int32)
     starts1 = cumR - counts
     seg_src1 = jnp.where(counts > 0, starts1, R_cap)
-    start1_pp = jax.lax.cummax(
+    start1_pp = _iscan(
         jnp.zeros((R_cap,), jnp.int32).at[seg_src1].max(
-            starts1, mode="drop"))
+            starts1, mode="drop", unique_indices=True), "max")
     # The segment-start flag is DERIVED, not scattered: a slot is a
     # segment start iff the cummax-filled start equals the position
     # (slot 0 is always a real start when any row exists — starts are
@@ -515,7 +555,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
 
     def scat1(colv):
         return jnp.zeros((R_cap,), colv.dtype).at[seg_src1].set(
-            colv, mode="drop")
+            colv, mode="drop", unique_indices=True)
 
     # Only ONE attribute column rides the entry-space forward-fill —
     # the Gaussian id; per-entry counts and decode packs come from TWO
@@ -538,7 +578,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     # the range start by cummax (starts are monotone), (trow, gid) by a
     # 3-operand associative select-scan.
     cnt2f = cnt2.reshape(-1)
-    cum2 = jnp.cumsum(cnt2f)
+    cum2 = _iscan(cnt2f, "sum")
     total2 = cum2[-1]
     # int32 cumsum wraps when raw demand exceeds 2^31 (possible early in
     # training); a f32 sum cannot wrap and guards the overflow flag.
@@ -546,14 +586,14 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     starts2 = cum2 - cnt2f
     seg_src2 = jnp.where(cnt2f > 0, starts2, pairs_capacity)
     pos2 = jnp.arange(pairs_capacity, dtype=jnp.int32)
-    start_pp = jax.lax.cummax(
+    start_pp = _iscan(
         jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].max(
-            starts2, mode="drop"))
+            starts2, mode="drop", unique_indices=True), "max")
     flag0 = start_pp == pos2          # derived, same argument as flag1
     trow0 = jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].set(
-        trow.reshape(-1), mode="drop")
+        trow.reshape(-1), mode="drop", unique_indices=True)
     gid0 = jnp.zeros((pairs_capacity,), jnp.int32).at[seg_src2].set(
-        gidrow.reshape(-1), mode="drop")
+        gidrow.reshape(-1), mode="drop", unique_indices=True)
     trow_pp, gid_pp = _ffill_k(flag0, trow0, gid0)
 
     # Decode pair k2 of its entry: pairs are row-major over the entry's
@@ -620,13 +660,13 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     pos = pos2
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]])
-    left_pp = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    left_pp = _iscan(jnp.where(is_start, pos, 0), "max")
     rank = pos - left_pp
     prev_left = jnp.concatenate([jnp.zeros((1,), jnp.int32), left_pp[:-1]])
     count_prev = pos - prev_left          # at a start: previous segment size
     pad_prev = cdiv(count_prev, chunk) * chunk
     contrib = jnp.where(is_start & (pos > 0), pad_prev, 0)
-    astart_pp = jnp.cumsum(contrib).astype(jnp.int32)   # own segment's start
+    astart_pp = _iscan(contrib, "sum")                  # own segment's start
     new_slot = astart_pp + rank
     # rank < tile_count is automatic (rank < segment size); the avail
     # clamp of tile_count is equivalent to new_slot < P_fin.
@@ -635,14 +675,17 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
 
     # One fused scatter: store gid+1 so empty slots read 0 ⇒ invalid.
     gid1 = jnp.zeros((P_fin,), jnp.int32).at[new_slot].set(
-        gid_sorted + 1, mode="drop")
+        gid_sorted + 1, mode="drop", unique_indices=True)
     slot_valid = gid1 > 0
     gid = jnp.maximum(gid1 - 1, 0)
 
     # expansion pair index → final slot (clamp-dropped and invalid
-    # entries map to P_fin)
-    inv = jnp.full((pairs_capacity,), P_fin, jnp.int32).at[p_sorted].set(
-        new_slot, mode="drop")
+    # entries map to P_fin). p_sorted is a PERMUTATION of the expansion
+    # space, so inverting it is a second 2-operand sort — the sorted
+    # output IS the array (a scatter would sort the updates anyway and
+    # then pay a serial ~5.6-cycles-per-update apply pass, ~43 ms vs
+    # ~10 ms at 5.6M on v5e).
+    inv = jax.lax.sort((p_sorted, new_slot), num_keys=1)[1]
     # per-Gaussian segment bounds in expansion coordinates, from the
     # N-space per-Gaussian pair counts (EXACTLY the level-2 prefix at
     # each Gaussian's entry block, since both sum the same table widths
@@ -652,9 +695,9 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     # end of the glue (measured ~98 ms at 1M on v5e): one extra N-sized
     # scatter here (~9 ms) buys that off.
     cntg_d = cntg[g_order]
-    cum_pairs = jnp.cumsum(cntg_d)
+    cum_pairs = _iscan(cntg_d, "sum")
     gstart = jnp.zeros((N,), jnp.int32).at[g_order].set(
-        (cum_pairs - cntg_d).astype(jnp.int32), mode="drop")
+        (cum_pairs - cntg_d).astype(jnp.int32), mode="drop", unique_indices=True)
     seg_start = jnp.clip(gstart, 0, pairs_capacity)
     seg_end = jnp.clip(gstart + cntg, 0, pairs_capacity)
 
