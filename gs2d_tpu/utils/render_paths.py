@@ -19,38 +19,55 @@ def normalize(x):
 
 
 def focus_point_fn(poses: np.ndarray) -> np.ndarray:
-    """Point minimizing squared distance to all camera z-axes
-    (reference :68-74)."""
-    directions, origins = poses[:, :3, 2:3], poses[:, :3, 3:4]
-    m = np.eye(3) - directions * np.transpose(directions, [0, 2, 1])
-    mt_m = np.transpose(m, [0, 2, 1]) @ m
-    focus_pt = np.linalg.inv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)[:, 0]
-    return focus_pt
+    """Least-squares intersection of the camera optical axes.
+
+    Camera i contributes the line o_i + s·d_i (position, +z axis); the
+    squared distance of a point p to it is |P_i (p − o_i)|² with
+    P_i = I − d_i d_iᵀ the projector onto the plane normal to d_i.
+    Projectors are symmetric and idempotent, so the normal equations of
+    min_p Σ_i |P_i (p − o_i)|² collapse to (Σ_i P_i) p = Σ_i P_i o_i —
+    one 3×3 solve, no Gram-matrix detour. Same capability as
+    /root/reference/utils/render_utils.py:68-74 (multinerf-derived),
+    re-derived here from the projector normal equations."""
+    d = poses[:, :3, 2]
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o = poses[:, :3, 3]
+    proj = np.eye(3)[None] - d[:, :, None] * d[:, None, :]   # (n, 3, 3)
+    return np.linalg.solve(proj.sum(0), np.einsum("nij,nj->i", proj, o))
 
 
 def transform_poses_pca(poses: np.ndarray):
-    """Recenter and rotate poses so the principal axes align with the
-    world axes (reference :76-107). Returns (poses_recentered, transform)."""
-    t = poses[:, :3, 3]
-    t_mean = t.mean(axis=0)
-    t = t - t_mean
-    eigval, eigvec = np.linalg.eig(t.T @ t)
-    inds = np.argsort(eigval)[::-1]
-    eigvec = eigvec[:, inds]
-    rot = eigvec.T
-    if np.linalg.det(rot) < 0:
-        rot = np.diag(np.array([1, 1, -1])) @ rot
-    transform = np.concatenate([rot, rot @ -t_mean[:, None]], -1)
-    poses_recentered = unpad_poses(
-        pad_poses(transform) @ pad_poses(poses))
-    if poses_recentered.mean(axis=0)[2, 1] < 0:
-        poses_recentered = np.diag(np.array([1, -1, -1])) @ poses_recentered
-        transform = np.diag(np.array([1, -1, -1, 1])) @ pad_poses(transform)
-        transform = transform[:3]
-    scale = 1.0 / np.max(np.abs(poses_recentered[:, :3, 3]))
-    poses_recentered[:, :3, 3] *= scale
-    transform = np.diag(np.array([scale] * 3 + [1])) @ pad_poses(transform)
-    return poses_recentered, transform[:3]
+    """Normalize a capture's world frame from its camera layout: recenter
+    positions at their centroid, rotate the principal spread axes onto
+    world x/y/z (largest first), pick a canonical handedness/up sign, and
+    scale positions into the unit box.
+
+    Returns (new_poses, transform): new_poses keep orthonormal rotations
+    with scaled translations; transform is the (3, 4) similarity (scaled
+    rotation + shift) that maps original positions to new ones, so
+    callers can carry generated paths back with its inverse. Same
+    capability as /root/reference/utils/render_utils.py:76-107
+    (multinerf-derived); re-derived here via the SVD of the centered
+    position matrix — its right singular vectors are the principal axes
+    already ordered by spread, so no eigensystem sort is needed."""
+    centers = poses[:, :3, 3]
+    centroid = centers.mean(axis=0)
+    _, _, axes = np.linalg.svd(centers - centroid)   # rows: spread axes
+    if np.linalg.det(axes) < 0:
+        axes = -axes                       # proper rotation (det −A = −det A)
+    # canonical up: mean camera y-axis should map to +z; rotate π about x
+    # otherwise (det-preserving)
+    if (axes @ poses[:, :3, 1].mean(axis=0))[2] < 0:
+        axes = np.diag([1.0, -1.0, -1.0]) @ axes
+    shift = -axes @ centroid
+    new_centers = centers @ axes.T + shift
+    scale = 1.0 / np.max(np.abs(new_centers))
+    new_poses = np.concatenate(
+        [axes @ poses[:, :3, :3], (scale * new_centers)[:, :, None]],
+        axis=-1)
+    transform = np.concatenate([scale * axes, scale * shift[:, None]],
+                               axis=-1)
+    return new_poses, transform
 
 
 def pad_poses(p):
