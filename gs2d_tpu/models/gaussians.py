@@ -75,6 +75,18 @@ def activated(params: GaussianParams):
     return params.xyz, scales, params.rotation, opacity, shs
 
 
+def sh_table_kn(params: GaussianParams) -> jnp.ndarray:
+    """SH coefficients as a LANE-MAJOR (K*3, cap) table (row k*3+c = the
+    row-major flatten of the reference's (N, K, 3) layout, transposed).
+    The (cap, K, 3) orientation tile-pads its 3-wide minor dim 43x on TPU
+    — see ops/sh.py eval_sh_kn; this is the hot-path form the renderer
+    feeds to preprocess."""
+    cap = params.capacity
+    dc = params.features_dc.reshape(cap, -1)        # (cap, 3)
+    rest = params.features_rest.reshape(cap, -1)    # (cap, 3*(K-1))
+    return jnp.concatenate([dc.T, rest.T], axis=0)  # (K*3, cap)
+
+
 def sh_degree_mask(active_degree, max_degree: int):
     """(K, 1) multiplier zeroing SH coefficients above the active degree —
     the functional analog of the reference's active_sh_degree ramp

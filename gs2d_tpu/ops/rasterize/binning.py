@@ -392,13 +392,16 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
             f"(ntx < {_DEC_X_BASE}, nty <= {_DEC_TY_MAX})")
     f32 = jnp.float32
     # LEVEL-1 expands ENTRIES: ceil(rh/s) strided strips of s tile rows.
-    ks = jnp.arange(K_ENT, dtype=jnp.int32)[None, :]          # (1, K)
+    # All (K, N)-shaped tables put N on the LANE axis: a (N, K=16) layout
+    # lane-pads 16 → 128 and every materialized intermediate moves 8x its
+    # real bytes (measured ~35 ms of the binning wall at 1M splats).
+    ks = jnp.arange(K_ENT, dtype=jnp.int32)[:, None]          # (K, 1)
     s0 = (rh0 + (K_ENT - 1)) // K_ENT                         # stride, >=1
     s0 = jnp.maximum(s0, 1)
     nE0 = (rh0 + s0 - 1) // s0                                # entries <= K
     counts0 = jnp.where(visible, nE0, 0)
-    ty_off = ks * s0[:, None]                                 # (N, K)
-    nr = jnp.clip(rh0[:, None] - ty_off, 0, s0[:, None])      # rows/entry
+    ty_off = ks * s0[None, :]                                 # (K, N)
+    nr = jnp.clip(rh0[None, :] - ty_off, 0, s0[None, :])      # rows/entry
     if cull_abc is not None:
         # Per-Gaussian conic constants in CENTERED screen coordinates
         # (u, v) = (x - cx, y - cy): the splat's per-pixel falloff test
@@ -445,7 +448,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
             cond, 1e-3 + 64.0 * 1.2e-7 * mag_uu / jnp.where(cond, quu, 1.0),
             -1.0)
 
-        # ---- (N, K_ENT) interval tables, built in N-SPACE -------------
+        # ---- (K_ENT, N) interval tables, built in N-SPACE -------------
         # Conservative x-interval of the splat's support per strided
         # strip (entry k covers tile rows [k*s, k*s+nr)). Moving this
         # from row space to N-space turns 10 interval-constant scatters
@@ -460,11 +463,11 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         # discriminant + 2 px margins) so f32 slop can only ADD tiles,
         # never drop a contributing one. The kernels' per-pixel test
         # remains the exact arbiter.
-        ya = ((ty0[:, None] + ty_off) * TILE_H).astype(f32)
+        ya = ((ty0[None, :] + ty_off) * TILE_H).astype(f32)
         yb = jnp.minimum(ya + (nr * TILE_H - 1).astype(f32), height - 1.0)
-        va = ya - cy0[:, None]
-        vb = yb - cy0[:, None]
-        alf_b, bet_b, gam_b = alf[:, None], bet[:, None], gam[:, None]
+        va = ya - cy0[None, :]
+        vb = yb - cy0[None, :]
+        alf_b, bet_b, gam_b = alf[None, :], bet[None, :], gam[None, :]
 
         def _disc(v):
             # absolute inflation ~1000x f32 eps of the evaluation
@@ -478,22 +481,22 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         # strip max of the concave/convex discriminant: endpoints
         # always, plus the clamped vertex when concave (alf < 0, the
         # elliptic case)
-        alf_safe = jnp.where(alf < 0.0, alf, -1.0)[:, None]
+        alf_safe = jnp.where(alf < 0.0, alf, -1.0)[None, :]
         vhat = jnp.clip(-bet_b / alf_safe, va, vb)
         disc = jnp.maximum(jnp.maximum(_disc(va), _disc(vb)),
                            jnp.where(alf_b < 0.0, _disc(vhat), -jnp.inf))
-        cne = cond[:, None] & (disc >= 0.0)
-        quu_safe = jnp.where(cond, quu, 1.0)[:, None]
+        cne = cond[None, :] & (disc >= 0.0)
+        quu_safe = jnp.where(cond, quu, 1.0)[None, :]
         half = jnp.sqrt(jnp.maximum(disc, 0.0)) / quu_safe
-        ca = -(quv[:, None] * va + gu[:, None]) / quu_safe
-        cb = -(quv[:, None] * vb + gu[:, None]) / quu_safe
+        ca = -(quv[None, :] * va + gu[None, :]) / quu_safe
+        cb = -(quv[None, :] * vb + gu[None, :]) / quu_safe
         ulo_c = jnp.minimum(ca, cb) - half
         uhi_c = jnp.maximum(ca, cb) + half
-        marg = margf[:, None] * (jnp.abs(ulo_c) + jnp.abs(uhi_c)) + 2.0
+        marg = margf[None, :] * (jnp.abs(ulo_c) + jnp.abs(uhi_c)) + 2.0
         ulo_c, uhi_c = ulo_c - marg, uhi_c + marg
-        rf2 = (r2m * (1.0 / FILTER_INV_SQUARE))[:, None]
+        rf2 = (r2m * (1.0 / FILTER_INV_SQUARE))[None, :]
         dyf = jnp.maximum(jnp.maximum(va, -vb), 0.0)
-        fne = cond[:, None] & (dyf * dyf <= rf2)
+        fne = cond[None, :] & (dyf * dyf <= rf2)
         fhalf = jnp.sqrt(jnp.maximum(rf2 - dyf * dyf, 0.0)) + 1.0
         big = jnp.float32(1e9)
         ulo = jnp.minimum(jnp.where(cne, ulo_c, big),
@@ -501,31 +504,32 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         uhi = jnp.maximum(jnp.where(cne, uhi_c, -big),
                           jnp.where(fne, fhalf, -big))
         jx0k = jnp.clip(
-            jnp.floor((cx0[:, None] + ulo) / TILE_W).astype(jnp.int32),
-            tx0[:, None], tx1[:, None])
+            jnp.floor((cx0[None, :] + ulo) / TILE_W).astype(jnp.int32),
+            tx0[None, :], tx1[None, :])
         jx1k = jnp.clip(
-            jnp.floor((cx0[:, None] + uhi) / TILE_W).astype(jnp.int32) + 1,
-            jx0k, tx1[:, None])
-        jx0k = jnp.where(cond[:, None], jx0k, tx0[:, None])  # fallbacks:
-        jx1k = jnp.where(cond[:, None], jx1k, tx1[:, None])  # bbox width
+            jnp.floor((cx0[None, :] + uhi) / TILE_W).astype(jnp.int32) + 1,
+            jx0k, tx1[None, :])
+        jx0k = jnp.where(cond[None, :], jx0k, tx0[None, :])  # fallbacks:
+        jx1k = jnp.where(cond[None, :], jx1k, tx1[None, :])  # bbox width
     else:
-        jx0k = jnp.broadcast_to(tx0[:, None], (N, K_ENT))
-        jx1k = jnp.broadcast_to(tx1[:, None], (N, K_ENT))
+        jx0k = jnp.broadcast_to(tx0[None, :], (K_ENT, N))
+        jx1k = jnp.broadcast_to(tx1[None, :], (K_ENT, N))
     live = nr > 0
     wk = jnp.where(live, jx1k - jx0k, 0)                  # tiles/entry
     # Two int32 entry tables: pair count per entry, and the level-2
     # decode pack (strip FIRST TILE ROW — absolute, ty0 baked in here so
     # entry space needs no ty0 column at all — interval start, width).
-    tab_cnt = (nr * wk).astype(jnp.int32).reshape(-1)     # (N*K,)
-    tab_dec = ((((ty0[:, None] + ty_off) << (_DEC_X_BITS + _DEC_W_BITS))
+    # (K, N) k-major flattening: entry k of gaussian g sits at k*N + g.
+    tab_cnt = (nr * wk).astype(jnp.int32).reshape(-1)     # (K*N,)
+    tab_dec = ((((ty0[None, :] + ty_off) << (_DEC_X_BITS + _DEC_W_BITS))
                 + (jnp.where(live, jx0k, 0) << _DEC_W_BITS)
-                + wk).astype(jnp.int32).reshape(-1))      # (N*K,)
+                + wk).astype(jnp.int32).reshape(-1))      # (K*N,)
 
     # Per-Gaussian pair count, in N-space. EXACTLY equals the sum of the
     # entry-space per-entry counts (both read the same table), so the
     # gradient segment bounds below can ride a plain cumsum instead of
     # two R-sized gathers of the level-2 prefix.
-    cntg = jnp.where(visible, jnp.sum(nr * wk, axis=1), 0)
+    cntg = jnp.where(visible, jnp.sum(nr * wk, axis=0), 0)
 
     counts = counts0[g_order]                   # entries per gaussian
 
@@ -567,7 +571,7 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
     gidrow = gidf.reshape(-1, _GB).astype(jnp.int32)
     row_ok = pos1b < totalR
 
-    tidx = gidrow * K_ENT + k1          # k1 < nE <= K_ENT for valid slots
+    tidx = k1 * N + gidrow              # k1 < nE <= K_ENT for valid slots
     cnt2 = jnp.where(row_ok, tab_cnt[tidx], 0)
     trow = tab_dec[tidx]                # (first tile row, x0, w) pack
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quat import normalize_quat, quat_to_rotmat
-from ..sh import eval_sh
+from ..sh import eval_sh, eval_sh_kn
 from ..transforms import ndc_to_pix_matrix
 from .common import (ALPHA_CUTOFF, CULL_MARGIN, FILTER_INV_SQUARE, NEAR_N,
                      SIGMA_CUTOFF)
@@ -71,6 +71,7 @@ def preprocess(
     height: int,
     sh_degree: int = 0,
     shs: Optional[jnp.ndarray] = None,        # (N, (deg+1)^2, 3) or None
+    shs_kn: Optional[jnp.ndarray] = None,     # ((deg+1)^2*3, N) lane-major
     colors: Optional[jnp.ndarray] = None,     # (N,3) precomputed, or None
     normals_flip: bool = True,
     scale_modifier: float = 1.0,
@@ -226,13 +227,19 @@ def preprocess(
 
     if colors is not None:
         rgb = colors
-    elif shs is not None:
+    elif shs is not None or shs_kn is not None:
         dirs = means3d - campos
         dirs = dirs * jax.lax.rsqrt(
             jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-16)
-        # shs: (N, K, 3) coefficient-major → channel-major for eval_sh
-        sh_cm = jnp.swapaxes(shs, -1, -2)                # (N, 3, K)
-        rgb = jnp.maximum(eval_sh(sh_degree, sh_cm, dirs) + 0.5, 0.0)
+        if shs_kn is not None:
+            # lane-major (K*3, N) table — the TPU-shaped path (see
+            # ops/sh.py eval_sh_kn on why the (N, K, 3) form is 43x slower)
+            rgb = jnp.maximum(eval_sh_kn(sh_degree, shs_kn, dirs) + 0.5,
+                              0.0)
+        else:
+            # shs: (N, K, 3) coefficient-major → channel-major for eval_sh
+            sh_cm = jnp.swapaxes(shs, -1, -2)            # (N, 3, K)
+            rgb = jnp.maximum(eval_sh(sh_degree, sh_cm, dirs) + 0.5, 0.0)
     else:
         rgb = jnp.ones((N, 3), means3d.dtype)
 

@@ -113,6 +113,65 @@ def eval_sh(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return result
 
 
+def sh_basis(degree: int, dirs: jnp.ndarray) -> list:
+    """Real-SH basis values b_k(dirs), k = 0..(degree+1)^2-1, as a list of
+    arrays shaped like ``dirs[..., 0]``. Same constants/ordering as
+    ``eval_sh`` (reference utils/sh_utils.py:57-112)."""
+    assert 0 <= degree <= 4
+    ones = jnp.ones_like(dirs[..., 0])
+    basis = [C0 * ones]
+    if degree < 1:
+        return basis
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    basis += [-C1 * y, C1 * z, -C1 * x]
+    if degree < 2:
+        return basis
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    basis += [C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+              C2[3] * xz, C2[4] * (xx - yy)]
+    if degree < 3:
+        return basis
+    basis += [C3[0] * y * (3 * xx - yy), C3[1] * xy * z,
+              C3[2] * y * (4 * zz - xx - yy),
+              C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+              C3[4] * x * (4 * zz - xx - yy), C3[5] * z * (xx - yy),
+              C3[6] * x * (xx - 3 * yy)]
+    if degree < 4:
+        return basis
+    basis += [C4[0] * xy * (xx - yy), C4[1] * yz * (3 * xx - yy),
+              C4[2] * xy * (7 * zz - 1), C4[3] * yz * (7 * zz - 3),
+              C4[4] * (zz * (35 * zz - 30) + 3), C4[5] * xz * (7 * zz - 3),
+              C4[6] * (xx - yy) * (7 * zz - 1), C4[7] * xz * (xx - 3 * yy),
+              C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy))]
+    return basis
+
+
+def eval_sh_kn(degree: int, sh_kn: jnp.ndarray, dirs: jnp.ndarray
+               ) -> jnp.ndarray:
+    """SH evaluation over a LANE-MAJOR coefficient table.
+
+    ``sh_kn`` is (K*C, N) — the row-major flatten of the reference's
+    (N, K, C) coefficient layout, transposed so N rides the 128-lane axis.
+    The (N, K, 3) form tile-pads its 3-wide minor dim 43x on TPU; every
+    materialization (mask multiply, dc/rest concat, eval slices, and all
+    their VJPs) then moves ~43x its real bytes — measured ~330 ms of the
+    1M-splat/1080p train step before this orientation.
+
+    Returns (N, C) values (no +0.5 offset; callers add it).
+    """
+    K = num_sh_coeffs(degree)
+    C = sh_kn.shape[0] // K
+    basis = sh_basis(degree, dirs)
+    chans = []
+    for c in range(C):
+        acc = basis[0] * sh_kn[c]
+        for k in range(1, K):
+            acc = acc + basis[k] * sh_kn[k * C + c]
+        chans.append(acc)
+    return jnp.stack(chans, axis=-1)
+
+
 def rgb_to_sh(rgb):
     """RGB in [0,1] → DC SH coefficient (reference utils/sh_utils.py:114)."""
     return (rgb - 0.5) / C0

@@ -16,7 +16,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.gaussians import GaussianState, activated, sh_degree_mask
+from ..models.gaussians import (GaussianState, activated, sh_degree_mask,
+                                sh_table_kn)
 from ..ops.depth_utils import depth_to_normal
 from ..ops.rasterize.api import RasterizeConfig, rasterize
 from ..ops.rasterize.preprocess import preprocess
@@ -31,17 +32,24 @@ def render(camera: Camera, state: GaussianState, cfg: RasterizeConfig,
            screen_offsets: Optional[jnp.ndarray] = None,
            depth_ratio: float = 0.0,
            mesh=None):
-    xyz, scales, quats, opacity, shs = activated(state.params)
+    xyz, scales, quats, opacity, _ = activated(state.params)
     # inactive slots never rasterize
     opacity = jnp.where(state.active, opacity, 0.0)
-    shs = shs * sh_degree_mask(state.active_sh_degree, max_sh_degree)[None]
+    if override_color is None:
+        # lane-major (K*3, cap) SH table with the degree ramp applied in
+        # the same orientation (the (cap, K, 3) form tile-pads 43x — see
+        # ops/sh.py eval_sh_kn)
+        kmask = sh_degree_mask(state.active_sh_degree, max_sh_degree)[:, 0]
+        shs_kn = sh_table_kn(state.params) * jnp.repeat(kmask, 3)[:, None]
+    else:
+        shs_kn = None
 
     pre = preprocess(
         xyz, scales, quats, opacity,
         camera.world_view, camera.full_proj, camera.campos,
         camera.width, camera.height,
         sh_degree=max_sh_degree,
-        shs=None if override_color is not None else shs,
+        shs_kn=shs_kn,
         colors=override_color,
         scale_modifier=scaling_modifier,
         screen_offsets=screen_offsets,

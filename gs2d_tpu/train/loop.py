@@ -192,18 +192,34 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
             max_padded = max(max_padded, int(m["padded_total"]))
             max_expanded = max(max_expanded, int(m["num_expanded"]))
             max_rows = max(max_rows, int(m["num_rows"]))
-            # One-shot downward adaptation: small scenes don't pay big-scene
-            # binning costs (every slot-proportional op scales with the
-            # capacity). A single recompile at iter 100, 4x headroom for
-            # densification growth; overflow doubling still applies after.
-            if iteration == 100 and rt.pairs_capacity_auto:
-                tight = max(((4 * max_expanded + rt.chunk - 1)
-                             // rt.chunk) * rt.chunk, rt.chunk)
-                tight_fin = max(((4 * max_padded + rt.chunk - 1)
-                                 // rt.chunk) * rt.chunk, rt.chunk)
-                tight_rows = max(((4 * max_rows + 127) // 128) * 128, 128)
-                if (tight < pairs_capacity or tight_fin < tight
-                        or tight_rows < pairs_capacity):
+            # Downward adaptation: small scenes don't pay big-scene binning
+            # costs (every slot-proportional op scales with the capacity,
+            # not the demand — a full step at 2x-loose capacities measured
+            # +774 ms at 1M splats/1080p, scripts/profile_full_step.py).
+            # First pass at iter 100 with 4x headroom for densification
+            # growth; after densification ends the demand is stationary,
+            # so re-tighten periodically at 1.3x whenever the capacities
+            # sit >=1.6x above the recent peak. Overflow doubling still
+            # applies in between; the recompile is rare and amortized.
+            retighten = (iteration == 100 or
+                         (iteration > opt.densify_until_iter
+                          and iteration % 500 == 0))
+            if retighten and rt.pairs_capacity_auto:
+                slack = 4 if iteration <= opt.densify_until_iter else 1.3
+                trigger = 1.0 if iteration == 100 else 1.6
+
+                def fit(need, align):
+                    need = max(int(need * slack), align)
+                    return ((need + align - 1) // align) * align
+
+                tight = fit(max_expanded, rt.chunk)
+                tight_fin = fit(max_padded, rt.chunk)
+                tight_rows = fit(max_rows, 128)
+                if (tight * trigger < pairs_capacity
+                        or tight_fin * trigger < (final_capacity
+                                                  or pairs_capacity)
+                        or tight_rows * trigger < (rows_capacity
+                                                   or pairs_capacity)):
                     pairs_capacity = min(tight, pairs_capacity)
                     final_capacity = min(tight_fin, pairs_capacity)
                     rows_capacity = min(tight_rows, pairs_capacity)
@@ -213,6 +229,9 @@ def train(model: ModelParams, opt: OptimizationParams, pipe: PipelineParams,
                                {"event": f"pairs_capacity ↓ "
                                 f"{pairs_capacity}/{final_capacity}"
                                 f"/{rows_capacity}"})
+                # the retighten window looks at RECENT demand, not the
+                # all-time peak (densification-era spikes never recur)
+                max_padded = max_expanded = max_rows = 0
             if bool(m["overflow"]):
                 from ..ops.rasterize.binning import MAX_PAIRS_CAPACITY
                 if pairs_capacity >= MAX_PAIRS_CAPACITY:
