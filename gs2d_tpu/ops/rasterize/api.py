@@ -133,6 +133,43 @@ def _segment_sum_rows(d_pairs: jnp.ndarray, seg_start: jnp.ndarray,
     return (inp_e - inp_s) + (off_e - off_s)
 
 
+def _segment_sum_rows_depth(d_pairs: jnp.ndarray, seg_end_d: jnp.ndarray,
+                            inv_order: jnp.ndarray) -> jnp.ndarray:
+    """_segment_sum_rows exploiting depth-order contiguity.
+
+    In depth order the expansion segments tile the pair space
+    (start_i = end_{i-1}), so the start endpoints are the end endpoints
+    shifted by one — 2 capacity-sized row gathers instead of 4, plus one
+    (N, C) reorder back to original gaussian order through ``inv_order``.
+    Arithmetic is IDENTICAL to _segment_sum_rows (same two-part in-block /
+    block-carry difference at the same positions), so results match it
+    bit-for-bit after the reorder."""
+    P, C = d_pairs.shape
+    x = d_pairs
+    if P % 128:
+        x = jnp.concatenate(
+            [x, jnp.zeros((128 - P % 128, C), x.dtype)], 0)
+    B = x.shape[0] // 128
+    xb = x.reshape(B, 128, C)
+    tri = jnp.tril(jnp.ones((128, 128), x.dtype))
+    pref = jnp.einsum("ij,bjc->bic", tri, xb,
+                      precision=jax.lax.Precision.HIGHEST)
+    flat_pref = pref.reshape(-1, C)                    # (B*128, C) in-block
+    csum = jnp.cumsum(pref[:, -1, :], axis=0)          # (B, C) inclusive
+
+    j = jnp.maximum(seg_end_d - 1, 0)
+    b = j // 128
+    nonzero = (seg_end_d > 0)[:, None]
+    inp_e = jnp.where(nonzero, flat_pref[j], 0.0)
+    off_e = jnp.where(nonzero & (b > 0)[:, None],
+                      csum[jnp.maximum(b - 1, 0)], 0.0)
+    zrow = jnp.zeros((1, C), d_pairs.dtype)
+    inp_s = jnp.concatenate([zrow, inp_e[:-1]], axis=0)
+    off_s = jnp.concatenate([zrow, off_e[:-1]], axis=0)
+    d_depth = (inp_e - inp_s) + (off_e - off_s)
+    return d_depth[inv_order]
+
+
 def _block_entries(packed, gid, chunk):
     """(N, F) table + (P,) slot→Gaussian ids → (P/chunk, F, chunk) wire.
 
@@ -150,8 +187,8 @@ def _unblock_rows(blocked):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _core(cfg: RasterizeConfig, packed, gid, inv, seg_start, seg_end,
-          order, tile_start, tile_count):
+def _core(cfg: RasterizeConfig, packed, gid, inv, seg_end_d, inv_order,
+          tile_start, tile_count):
     entries = _block_entries(packed, gid, cfg.chunk)
     out, _ = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
@@ -160,24 +197,24 @@ def _core(cfg: RasterizeConfig, packed, gid, inv, seg_start, seg_end,
     return out
 
 
-def _core_fwd(cfg, packed, gid, inv, seg_start, seg_end, order,
+def _core_fwd(cfg, packed, gid, inv, seg_end_d, inv_order,
               tile_start, tile_count):
     entries = _block_entries(packed, gid, cfg.chunk)
     out, med_idx = rasterize_fwd_pallas(
         entries, tile_start, tile_count,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
         interpret=cfg.interpret)
-    return out, (entries, inv, seg_start, seg_end, order,
+    return out, (entries, inv, seg_end_d, inv_order,
                  tile_start, tile_count, out, med_idx)
 
 
 def _core_bwd(cfg, res, g):
     from .kernel_bwd import rasterize_bwd_pallas
 
-    (entries, inv, seg_start, seg_end, order, tile_start, tile_count,
+    (entries, inv, seg_end_d, inv_order, tile_start, tile_count,
      out, med_idx) = res
     P_alloc = entries.shape[0] * cfg.chunk
-    N = order.shape[0]
+    N = inv_order.shape[0]
     d_blk = rasterize_bwd_pallas(
         entries, tile_start, tile_count, out, g, med_idx,
         width=cfg.width, height=cfg.height, chunk=cfg.chunk,
@@ -189,18 +226,18 @@ def _core_bwd(cfg, res, g):
     ok = inv < P_alloc
     d_pairs = d_raw[jnp.where(ok, inv, 0)]
     d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
-    # Segment bounds arrive in ORIGINAL gaussian order (binning emits
-    # them that way), so the prefix-difference segment sum lands in
-    # original order directly — no (N, 24) reorder scatter (~98 ms at
-    # 1M on v5e; the endpoint gathers cost the same either way).
-    d_g = _segment_sum_rows(d_pairs, seg_start, seg_end)       # (N, 22)
+    # Depth-order endpoint dedup: segments tile the expansion space in
+    # depth order, so the prefix difference needs only END endpoints
+    # there (2 capacity-sized row gathers, not 4) + one (N, 22) reorder
+    # back to original gaussian order.
+    d_g = _segment_sum_rows_depth(d_pairs, seg_end_d, inv_order)  # (N, 22)
     # Widen to the packed-entry layout only at N-size: the center columns'
     # gradient is identically zero (common.py DENTRY_F), so the wire, the
     # P-sized gather, and the segment sum all stay 22 columns.
     zero2 = jnp.zeros((N, 2), d_raw.dtype)
     d_packed = jnp.concatenate(
         [d_g[:, :12], zero2, d_g[:, 12:]], axis=1)             # (N, 24)
-    return d_packed, None, None, None, None, None, None, None
+    return d_packed, None, None, None, None, None, None
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -314,8 +351,8 @@ def rasterize(pre: PreprocessOut, cfg: RasterizeConfig):
     # the gather, recomputing it per *pair* as 24 scalar column gathers
     # (~80x slower on TPU, measured: 415ms → 5ms at 1080p/540k pairs).
     packed = _gather_barrier(packed)
-    out_tiles = _core(cfg, packed, bins.gid, bins.inv, bins.seg_start,
-                      bins.seg_end, bins.order,
+    out_tiles = _core(cfg, packed, bins.gid, bins.inv, bins.seg_end_d,
+                      bins.inv_order,
                       bins.tile_start, bins.tile_count)
     out = untile(out_tiles, cfg.width, cfg.height)
     return out, {"num_pairs": bins.num_pairs, "overflow": bins.overflow,

@@ -112,6 +112,14 @@ class BinningOut(NamedTuple):
                               #   in ORIGINAL gaussian order
     seg_end: jnp.ndarray      # (N,) int32 expansion segment end, clamped,
                               #   in ORIGINAL gaussian order
+    # Depth-order duals: segments are CONTIGUOUS in depth order
+    # (start_i = end_{i-1}), so the backward's prefix-difference segment
+    # sum needs only the END endpoints there — 2 capacity-sized row
+    # gathers instead of 4 — plus one (N, C) reorder through inv_order
+    # (net: 3N row-moves for 4N, and no gstart scatter on the hot path).
+    seg_end_d: jnp.ndarray    # (N,) int32 expansion segment end, clamped,
+                              #   in DEPTH order (inclusive prefix of cntg)
+    inv_order: jnp.ndarray    # (N,) int32 original Gaussian id → depth rank
     order: jnp.ndarray        # (N,) int32 depth-sorted → original Gaussian id
     num_expanded: jnp.ndarray  # () int32 expansion pair demand
     num_rows: jnp.ndarray     # () int32 level-1 strip-entry demand
@@ -704,12 +712,21 @@ def bin_gaussians(center2d: jnp.ndarray, extent: jnp.ndarray,
         (cum_pairs - cntg_d).astype(jnp.int32), mode="drop", unique_indices=True)
     seg_start = jnp.clip(gstart, 0, pairs_capacity)
     seg_end = jnp.clip(gstart + cntg, 0, pairs_capacity)
+    # depth-order dual of seg_end + the inverse depth permutation (a
+    # second 2-operand sort — cheaper than an N-update scatter, see the
+    # `inv` note above). The hot path consumes ONLY these two; the
+    # original-order bounds above are diagnostics XLA dead-code-eliminates.
+    seg_end_d = jnp.clip(cum_pairs, 0, pairs_capacity).astype(jnp.int32)
+    pos_n = jnp.arange(N, dtype=jnp.int32)
+    inv_order = jax.lax.sort((g_order.astype(jnp.int32), pos_n),
+                             num_keys=1)[1]
 
     return BinningOut(
         gid=gid, slot_valid=slot_valid,
         tile_start=aligned_start, tile_count=tile_count,
         num_pairs=num_pairs, padded_total=padded_total, overflow=overflow,
         inv=inv, seg_start=seg_start, seg_end=seg_end,
+        seg_end_d=seg_end_d, inv_order=inv_order,
         order=g_order.astype(jnp.int32),
         num_expanded=total2,
         num_rows=totalR,

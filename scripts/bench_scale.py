@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gs2d_tpu.ops.rasterize.api import (RasterizeConfig, _segment_sum_rows,
+from gs2d_tpu.ops.rasterize.api import (RasterizeConfig,
+                                        _segment_sum_rows_depth,
                                         pack_entries, rasterize,
                                         suggest_capacities)
 from gs2d_tpu.ops.rasterize.binning import bin_gaussians
@@ -139,17 +140,16 @@ def bench_one(n, out_f, n_iters=8):
     from gs2d_tpu.ops.rasterize.common import DENTRY_F, ENTRY_F
     P_slots = entries.shape[0] * CHUNK
     d_raw = jnp.ones((P_slots, DENTRY_F), jnp.float32)
-    inv, seg_s, seg_e, order = bins.inv, bins.seg_start, bins.seg_end, \
-        bins.order
+    inv, seg_e_d, inv_order = bins.inv, bins.seg_end_d, bins.inv_order
     P_alloc = P_slots
-    N = order.shape[0]
+    N = inv_order.shape[0]
 
     @jax.jit
     def step_bglue(d):
         ok = inv < P_alloc
         d_pairs = d[jnp.where(ok, inv, 0)]
         d_pairs = jnp.where(ok[:, None], d_pairs, 0.0)
-        d_g = _segment_sum_rows(d_pairs, seg_s, seg_e)  # original order
+        d_g = _segment_sum_rows_depth(d_pairs, seg_e_d, inv_order)
         d_packed = jnp.concatenate(
             [d_g[:, :12], jnp.zeros((N, 2), d.dtype), d_g[:, 12:]],
             axis=1)
