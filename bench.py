@@ -122,6 +122,81 @@ def measure(scene, width, height, n_iters, interpret=False):
     return width * height / dt
 
 
+def measure_train_step(scene, width, height, n_iters, interpret=False):
+    """Iterations/s of the COMPLETE jitted train step (render with SH
+    deg-3 + all losses + Adam + densify stats) at the headline point —
+    the number a 30k-iteration scene schedule actually pays per step
+    (VERDICT r4 item 3), vs the rasterizer-only headline above."""
+    import math as _math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gs2d_tpu.config import OptimizationParams
+    from gs2d_tpu.models.gaussians import GaussianParams, GaussianState
+    from gs2d_tpu.ops.rasterize.api import RasterizeConfig, suggest_capacities
+    from gs2d_tpu.ops.rasterize.preprocess import preprocess
+    from gs2d_tpu.ops.sh import rgb_to_sh
+    from gs2d_tpu.scene.cameras import make_camera
+    from gs2d_tpu.train.optim import init_adam
+    from gs2d_tpu.train.step import TrainState, make_train_step
+    from gs2d_tpu.utils.timing import timed_loop
+
+    means, scales, quats, opac, rgb = scene
+    n = means.shape[0]
+    cap = 1 << max(10, _math.ceil(_math.log2(n * 1.25)))
+
+    def pad(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    opac_c = np.clip(opac, 1e-4, 1 - 1e-4)
+    params = GaussianParams(
+        xyz=pad(means),
+        features_dc=pad(np.asarray(rgb_to_sh(rgb))[:, None, :]),
+        features_rest=jnp.zeros((cap, 15, 3), jnp.float32),
+        scaling=pad(np.log(scales)),
+        rotation=pad(quats, fill=1.0),
+        opacity=pad(np.log(opac_c / (1 - opac_c))[:, None]))
+    zeros = jnp.zeros((cap,), jnp.float32)
+    gs = GaussianState(params=params,
+                       active=jnp.asarray(np.arange(cap) < n),
+                       active_sh_degree=jnp.int32(3),
+                       max_radii2d=zeros, grad_accum=zeros, denom=zeros)
+
+    fovx = math.radians(70)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * height / width)
+    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 3.0]), fovx, fovy,
+                      width, height)
+    from gs2d_tpu.models.gaussians import activated
+    xyz, sc, qu, op, _ = activated(gs.params)
+    pre = jax.jit(lambda *a: preprocess(
+        a[0], a[1], a[2], jnp.where(gs.active, a[3], 0.0), cam.world_view,
+        cam.full_proj, cam.campos, width, height))(xyz, sc, qu, op)
+    pcap, fcap, rcap = suggest_capacities(pre, width, height)
+    rcfg = RasterizeConfig(width=width, height=height, pairs_capacity=pcap,
+                           final_capacity=fcap, rows_capacity=rcap,
+                           interpret=interpret)
+    step = make_train_step(rcfg, OptimizationParams(lambda_dist=10.0),
+                           max_sh_degree=3, spatial_lr_scale=1.0,
+                           depth_ratio=1.0)
+    gt = jnp.asarray(
+        np.random.default_rng(1).random((3, height, width), np.float32))
+    bg = jnp.zeros((3,), jnp.float32)
+    ts0 = TrainState(gaussians=gs, opt=init_adam(gs.params),
+                     key=jax.random.PRNGKey(0))
+    it = jnp.int32(8000)
+
+    def fn(ts):
+        ts2, _ = step(ts, cam, gt, it, bg)
+        return ts2
+
+    dt, _ = timed_loop(fn, ts0, n=n_iters)
+    return 1.0 / dt
+
+
 def build_uniform_scene(n, seed=0):
     import numpy as np
     rng = np.random.default_rng(seed)
@@ -158,9 +233,17 @@ def main():
         value = measure(make_trained_like_scene(n_main), W, H,
                         n_iters=8 if on_tpu else 2, interpret=not on_tpu)
         extra["headline_wall_s"] = round(time.time() - t0, 1)
-        # Secondary point: the historical 100k-uniform scene, only if the
-        # deadline leaves room for its compile (~2x headline wall so far).
+        # Secondary points, budget permitting: the COMPLETE train step at
+        # the headline scene (what a 30k-iteration schedule pays per
+        # iteration), then the historical 100k-uniform scene.
         if on_tpu and (time.time() - t0) * 2 < DEADLINE_S * 0.8:
+            try:
+                extra["train_step_it_per_s"] = measure_train_step(
+                    make_trained_like_scene(n_main), W, H, n_iters=6)
+            except _Deadline:
+                signal.alarm(10)
+                extra["train_step_it_per_s"] = None
+        if on_tpu and (time.time() - t0) * 1.5 < DEADLINE_S * 0.8:
             try:
                 extra["uniform_100k_rays_per_s"] = measure(
                     build_uniform_scene(100_000), 1920, 1080, n_iters=8)
