@@ -64,9 +64,10 @@ def test_no_pair_table_transpose_and_single_sort():
         f"(PERF.md fix #1 regressed):\n" + "\n".join(bad[:5]))
 
     n_sorts = len(re.findall(r"\bsort\b", text))
-    assert n_sorts <= 3, (
-        "expected at most three sorts (N-sized depth argsort, P-sized "
-        "tile-key sort, and the deliberate 2-operand permutation "
-        "inversion producing binning's `inv` — a sorted output needs no "
-        f"serial scatter-apply pass), found {n_sorts} — a gradient path "
-        "started re-sorting pair tables")
+    assert n_sorts <= 4, (
+        "expected at most four sorts (N-sized depth argsort, P-sized "
+        "tile-key sort, and two deliberate 2-operand permutation "
+        "inversions: binning's `inv` and the N-sized `inv_order` depth-"
+        "rank inverse — sorted outputs need no serial scatter-apply "
+        f"pass), found {n_sorts} — a gradient path started re-sorting "
+        "pair tables")
