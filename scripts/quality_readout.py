@@ -51,17 +51,23 @@ def main():
     ap.add_argument("--iteration", type=int, default=30000)
     ap.add_argument("--skip_render", action="store_true")
     ap.add_argument("--mesh_gt_samples", type=int, default=100_000)
+    ap.add_argument("--interpret", action="store_true",
+                    help="pass --interpret to render.py (CPU dry-runs "
+                         "of the pipeline)")
+    ap.add_argument("--mesh_res", type=int, default=1024)
     args = ap.parse_args()
 
     rec = {"ts": time.time(), "model": args.model, "iteration": args.iteration}
 
     if not args.skip_render:
         print("=== render test split + mesh ===", flush=True)
-        subprocess.run(
-            [sys.executable, os.path.join(ROOT, "render.py"),
-             "-m", args.model, "-s", args.data,
-             "--iteration", str(args.iteration), "--skip_train"],
-            check=True, cwd=ROOT)
+        cmd = [sys.executable, os.path.join(ROOT, "render.py"),
+               "-m", args.model, "-s", args.data,
+               "--iteration", str(args.iteration), "--skip_train",
+               "--mesh_res", str(args.mesh_res)]
+        if args.interpret:
+            cmd += ["--interpret"]
+        subprocess.run(cmd, check=True, cwd=ROOT)
 
     print("=== metrics ===", flush=True)
     subprocess.run(
