@@ -58,16 +58,26 @@ def main():
     args = ap.parse_args()
 
     rec = {"ts": time.time(), "model": args.model, "iteration": args.iteration}
+    out = os.path.join(ROOT, "QUALITY_scale.json")
 
-    if not args.skip_render:
-        print("=== render test split + mesh ===", flush=True)
+    def flush_rec():
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=1)
+
+    def render_cmd(extra):
         cmd = [sys.executable, os.path.join(ROOT, "render.py"),
                "-m", args.model, "-s", args.data,
-               "--iteration", str(args.iteration), "--skip_train",
-               "--mesh_res", str(args.mesh_res)]
+               "--iteration", str(args.iteration), "--skip_train"] + extra
         if args.interpret:
             cmd += ["--interpret"]
-        subprocess.run(cmd, check=True, cwd=ROOT)
+        return cmd
+
+    # Stage 1 (cheap, near-certain): test-split renders -> NVS metrics.
+    # Kept independent of the mesh stage so a TSDF failure cannot cost
+    # the PSNR/SSIM half of the artifact.
+    if not args.skip_render:
+        print("=== render test split ===", flush=True)
+        subprocess.run(render_cmd(["--skip_mesh"]), check=True, cwd=ROOT)
 
     print("=== metrics ===", flush=True)
     subprocess.run(
@@ -76,6 +86,26 @@ def main():
     with open(os.path.join(args.model, "results.json")) as f:
         res = json.load(f)
     rec["nvs"] = res
+    flush_rec()
+
+    # Stage 2: TSDF mesh extraction at the requested resolution, with a
+    # half-resolution retry — unproven-at-scale voxel grids must not be
+    # able to void the artifact.
+    if not args.skip_render:
+        for res_try, budget_s in ((args.mesh_res, 2100),
+                                  (args.mesh_res // 2, 900)):
+            print(f"=== mesh extraction @ {res_try} ===", flush=True)
+            try:
+                subprocess.run(
+                    render_cmd(["--skip_test", "--mesh_res", str(res_try)]),
+                    check=True, cwd=ROOT, timeout=budget_s)
+                rec["mesh_res"] = res_try
+                break
+            except (subprocess.CalledProcessError,
+                    subprocess.TimeoutExpired) as e:
+                print(f"mesh @ {res_try} failed: {e!r}", flush=True)
+                rec["mesh_error"] = f"{res_try}: {type(e).__name__}"
+                flush_rec()
 
     # mesh chamfer vs analytic GT
     mesh_path = None
@@ -118,9 +148,7 @@ def main():
         rec["fg_mesh_samples"] = int(len(ms_f))
         rec["fg_gt_samples"] = int(len(gt_f))
 
-    out = os.path.join(ROOT, "QUALITY_scale.json")
-    with open(out, "w") as f:
-        json.dump(rec, f, indent=1)
+    flush_rec()
     print(json.dumps(rec, indent=1), flush=True)
 
 
