@@ -34,13 +34,23 @@ def gt_surface_points(n=200_000, seed=7):
 
 
 def chamfer(a, b, block=8192):
-    """Mean bidirectional nearest-neighbor distance, numpy blockwise."""
-    def one_way(x, y):
-        mins = np.empty(len(x), np.float32)
-        for i in range(0, len(x), block):
-            d = ((x[i:i + block, None, :] - y[None, :, :]) ** 2).sum(-1)
-            mins[i:i + block] = d.min(1)
-        return np.sqrt(mins).mean()
+    """Mean bidirectional nearest-neighbor distance.
+
+    KD-tree when scipy is present (~seconds at 100k x 100k); numpy
+    blockwise fallback otherwise (minutes at that size).
+    """
+    try:
+        from scipy.spatial import cKDTree
+    except ImportError:
+        def one_way(x, y):
+            mins = np.empty(len(x), np.float32)
+            for i in range(0, len(x), block):
+                d = ((x[i:i + block, None, :] - y[None, :, :]) ** 2).sum(-1)
+                mins[i:i + block] = d.min(1)
+            return np.sqrt(mins).mean()
+    else:
+        def one_way(x, y):
+            return float(cKDTree(y).query(x, workers=-1)[0].mean())
     return float(one_way(a, b)), float(one_way(b, a))
 
 
@@ -100,6 +110,7 @@ def main():
                     render_cmd(["--skip_test", "--mesh_res", str(res_try)]),
                     check=True, cwd=ROOT, timeout=budget_s)
                 rec["mesh_res"] = res_try
+                flush_rec()
                 break
             except (subprocess.CalledProcessError,
                     subprocess.TimeoutExpired) as e:
