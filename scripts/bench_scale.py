@@ -65,29 +65,11 @@ def bench_one(n, out_f, n_iters=8):
            "final_capacity": fin_cap, "chunk": CHUNK}
     print(f"[N={n}] capacity {cap} final {fin_cap}", flush=True)
 
-    # ---- stage: preprocess (chained via means feedback) --------------
-    def step_pre(m):
-        p = pre_fn(m, scales, quats, opac, rgb)
-        return m + 1e-30 * (jnp.sum(p.center2d[::501]) + jnp.sum(p.A[::503]))
-    dt, _ = timed_loop(step_pre, means, n=n_iters)
-    rec["t_preprocess_ms"] = dt * 1e3
-
-    # ---- stage: binning (consume gid/inv/tile tables) -----------------
     bin_fn = jax.jit(lambda c2, ex, dp, vis: bin_gaussians(
         c2, ex, dp, vis, W, H, cap, CHUNK,
         cull_abc=(pre.A, pre.B, pre.C),
         rho2max=pre.rho2max, final_capacity=fin_cap,
         rows_capacity=rows_cap))
-
-    def step_bin(c2):
-        b = bin_fn(c2, pre.extent, pre.depth, pre.visible)
-        fb = (jnp.sum(b.gid[::997]) + jnp.sum(b.inv[::1009]) +
-              jnp.sum(b.tile_start) + jnp.sum(b.tile_count) +
-              jnp.sum(b.seg_start[::499]))
-        return c2 + 1e-30 * fb.astype(jnp.float32)
-    dt, _ = timed_loop(step_bin, pre.center2d, n=n_iters)
-    rec["t_binning_ms"] = dt * 1e3
-
     bins = bin_fn(pre.center2d, pre.extent, pre.depth, pre.visible)
     rec["num_pairs"] = int(bins.num_pairs)
     rec["num_expanded"] = int(bins.num_expanded)
@@ -95,22 +77,27 @@ def bench_one(n, out_f, n_iters=8):
     rec["overflow"] = bool(bins.overflow)
     print(f"[N={n}] pairs {rec['num_pairs']} padded {rec['padded_total']}",
           flush=True)
-
-    # ---- stage: expansion gather (packed[gid] rows) -------------------
     packed = jax.jit(pack_entries)(pre)
     gid = bins.gid
 
-    @jax.jit
-    def step_gather(p):
-        e = p[gid]
-        return p + 1e-30 * jnp.sum(e[::1013])
-    dt, _ = timed_loop(step_gather, packed, n=n_iters)
-    rec["t_gather_ms"] = dt * 1e3
+    # The Pallas KERNEL stages are timed FIRST, before any measurement
+    # loop has churned the allocator: with the preprocess/binning/gather
+    # timed loops run first, the bwd-kernel stage reads 2-4x its
+    # isolated ~51 ms no matter how its own inputs are constructed
+    # (allocator-state-dependent overhead; scripts/diag_bwd_bisect.py
+    # measures the perturbation space). Measurement order does not
+    # change what each stage measures.
 
     # ---- stage: fwd kernel --------------------------------------------
+    # Argument-passing jit, NOT a closure-captured gid: with gid captured
+    # as a constant, the later bwd stage's timed loop reads 2-4x its
+    # isolated cost (allocator-state-dependent overhead; see
+    # scripts/diag_bwd_bisect.py — any of argument-style construction,
+    # pre-cycling entries-shaped transients, or dropping live refs
+    # removes it).
     entries = jax.jit(
-        lambda p: p[gid].reshape(-1, CHUNK, p.shape[1]).transpose(0, 2, 1)
-    )(packed)                                # (P/chunk, ENTRY_F, chunk) wire
+        lambda p, g: p[g].reshape(-1, CHUNK, p.shape[1]).transpose(0, 2, 1)
+    )(packed, gid)                           # (P/chunk, ENTRY_F, chunk) wire
     ts, tc = bins.tile_start, bins.tile_count
 
     @jax.jit
@@ -128,13 +115,43 @@ def bench_one(n, out_f, n_iters=8):
     g_tiles = jnp.ones_like(out_tiles)
 
     # ---- stage: bwd kernel --------------------------------------------
+    # Cotangents ride as jit arguments and the loop gets extra warmup —
+    # both measured necessary for the stage to read its isolated ~51 ms
+    # instead of an allocator-perturbed 2-4x (diag_bwd_bisect.py).
     @jax.jit
-    def step_bwd(e):
-        d = rasterize_bwd_pallas(e, ts, tc, out_tiles, g_tiles, med_tiles,
+    def step_bwd(e, o, g, m):
+        d = rasterize_bwd_pallas(e, ts, tc, o, g, m,
                                  width=W, height=H, chunk=CHUNK)
         return e + 1e-30 * jnp.sum(d[::7])
-    dt, _ = timed_loop(step_bwd, entries, n=n_iters)
+    dt, _ = timed_loop(
+        lambda e: step_bwd(e, out_tiles, g_tiles, med_tiles), entries,
+        n=n_iters, warmup=6)
     rec["t_bwd_kernel_ms"] = dt * 1e3
+
+    # ---- stage: preprocess (chained via means feedback) --------------
+    def step_pre(m):
+        p = pre_fn(m, scales, quats, opac, rgb)
+        return m + 1e-30 * (jnp.sum(p.center2d[::501]) + jnp.sum(p.A[::503]))
+    dt, _ = timed_loop(step_pre, means, n=n_iters)
+    rec["t_preprocess_ms"] = dt * 1e3
+
+    # ---- stage: binning (consume gid/inv/tile tables) -----------------
+    def step_bin(c2):
+        b = bin_fn(c2, pre.extent, pre.depth, pre.visible)
+        fb = (jnp.sum(b.gid[::997]) + jnp.sum(b.inv[::1009]) +
+              jnp.sum(b.tile_start) + jnp.sum(b.tile_count) +
+              jnp.sum(b.seg_start[::499]))
+        return c2 + 1e-30 * fb.astype(jnp.float32)
+    dt, _ = timed_loop(step_bin, pre.center2d, n=n_iters)
+    rec["t_binning_ms"] = dt * 1e3
+
+    # ---- stage: expansion gather (packed[gid] rows) -------------------
+    @jax.jit
+    def step_gather(p):
+        e = p[gid]
+        return p + 1e-30 * jnp.sum(e[::1013])
+    dt, _ = timed_loop(step_gather, packed, n=n_iters)
+    rec["t_gather_ms"] = dt * 1e3
 
     # ---- stage: bwd glue (slot→expansion gather, segment sum, scatter) -
     from gs2d_tpu.ops.rasterize.common import DENTRY_F, ENTRY_F
